@@ -154,7 +154,8 @@ def test_sds_numbered_sections_positional_slice():
     )
     sections = extract_sections(text, "sds")
     assert "section_1" in sections and "section_2" in sections
-    assert sections["section_1"]["content"].startswith("1: Identification")
+    assert sections["section_1"]["title"] == "Identification"
+    assert sections["section_1"]["content"].startswith("SECTION 1: Identification")
     assert "Product Name: X" in sections["section_1"]["content"]
     assert "Product Name" not in sections["section_2"]["content"]
 
