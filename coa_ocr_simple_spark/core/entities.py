@@ -111,7 +111,13 @@ def _extract_coa(text: str, entities: dict, config: ModelConfig) -> None:
                 field_name,
                 r"(?i)" + field_name.replace("_", r"\s+") + r"\s*[:.]\s*([^\n]+)",
             )
-            m = re.search(pattern, text)
+            # defensive vs the reference (ai:521-524 has no guard): a bad
+            # custom pattern must not kill a 10^12-doc job; skip it like the
+            # trained-pattern pass does (ai:1208-1213)
+            try:
+                m = re.search(pattern, text)
+            except re.error:
+                continue
             if m:
                 entities[field_name] = m.group(1).strip()
 

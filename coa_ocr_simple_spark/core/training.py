@@ -46,6 +46,22 @@ def _freeze(state: dict) -> ModelConfig:
     )
 
 
+def _or_combine(old: str, new: str) -> str:
+    """OR-combine two field patterns (TR2 retrain semantics, ai:1100-1104).
+
+    The reference emits ``(?:old)|(?:new)`` verbatim, which is an *invalid*
+    regex on Python >= 3.11 whenever the operands carry inline ``(?i)``
+    flags (global flags must lead the expression) — a latent reference bug.
+    We hoist the flag: strip leading ``(?i)`` from both operands and prefix
+    it once.  Match semantics are equivalent and the pattern compiles.
+    """
+
+    def bare(p: str) -> str:
+        return p[4:] if p.startswith("(?i)") else p
+
+    return "(?i)(?:" + bare(old) + ")|(?:" + bare(new) + ")"
+
+
 def create_context_pattern(text: str, field_name: str, value: str) -> str | None:
     """Context-aware pattern synthesis (TR3; ai:662-710): locate the value,
     capture up to 100 chars of left context, prefer the field name inside
@@ -204,7 +220,7 @@ def train_from_field_value(
 
     patterns = state["field_patterns"].setdefault(doc_type, {})
     if field_name in patterns:
-        patterns[field_name] = "(?:" + patterns[field_name] + ")|(?:" + pattern + ")"
+        patterns[field_name] = _or_combine(patterns[field_name], pattern)
     else:
         patterns[field_name] = pattern
 

@@ -225,7 +225,8 @@ def test_html_strip_drops_boilerplate_keeps_table():
 
 
 def test_html_strip_malformed_never_raises():
-    assert strip_html("<div><p>ok") == "ok"
+    assert strip_html("<div><p>unclosed tags okay") == "unclosed tags okay"
+    assert strip_html("ok") == ""  # sub-minimum block (2 chars) dropped
     assert strip_html("") == ""
 
 
@@ -259,8 +260,13 @@ def test_train_from_field_value_or_combines():
         config, "coa", "ph_value", "pH Value = 7.0\n", "7.0", NOW
     )
     combined = config.field_patterns["coa"]["ph_value"]
-    assert combined.startswith("(?:") and "|(?:" in combined  # ai:1100-1104
-    assert first in combined
+    # OR-combined with the (?i) hoisted to the front (valid on py>=3.11,
+    # unlike the reference's literal (?:(?i)..)|(?:(?i)..) — ai:1100-1104)
+    assert combined.startswith("(?i)(?:") and "|(?:" in combined
+    assert first.removeprefix("(?i)") in combined
+    import re
+
+    re.compile(combined)  # must be a valid pattern
     # trained pattern actually extracts via the second pass
     entities = process_document(
         "Certificate of Analysis\nLot Number: L1\npH Value: 6.8\n", config
@@ -269,10 +275,15 @@ def test_train_from_field_value_or_combines():
 
 
 def test_auto_train_then_reset_roundtrip():
+    # NB: the discovery key class includes \s (hence \n), so the first
+    # key-value match glues the title line to "HS Code" — reference quirk
+    # (ai:723), preserved: the glued key is trained, bare hs_code is not.
     text = "Certificate of Analysis\nHS Code: 29141100\nLot Number: L1\n" + "x" * 60
     config = auto_train_all_fields(EMPTY_CONFIG, text, "coa", NOW)
-    assert "hs_code" in config.document_schemas["coa"]["required_fields"]
-    assert "hs_code" in config.auto_trained_fields["coa"]
+    required = config.document_schemas["coa"]["required_fields"]
+    assert "certificate_of_analysis\nhs_code" in required
+    assert "lot_number" in required
+    assert "lot_number" in config.auto_trained_fields["coa"]
     config = reset_document_schema(config, "coa", NOW)
     assert "coa" not in config.document_schemas
     assert config.training_history[-1]["action"] == "reset_schema"
