@@ -1,0 +1,98 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Usage (cluster):
+  spark-submit --py-files dist/coa_ocr_simple_spark.zip \\
+      -m coa_ocr_simple_spark.jobs.extract \\
+      --input db.documents --media db.media --output db.extracted \\
+      --checkpoint db.checkpoint --config model_config.json \\
+      --run-id run-2026-08-16 --resume
+
+Sandbox (paths instead of catalog identifiers):
+  python -m coa_ocr_simple_spark.jobs.extract --input /tmp/docs.parquet ...
+
+Scale knobs map 1:1 to SURVEY.md §4.2: --spread-partitions (skew spread of
+exploded spans), --broadcast-media (force broadcast of the media store),
+AQE on by default (post-shuffle coalesce + skew-join splitting).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+from ..core.config import EMPTY_CONFIG, ModelConfig
+from ..operators.checkpoint import partition_metrics
+from ..plans.extract_plan import ExtractOptions, build_extract_plan
+from ..sources.tables import TableIO
+
+
+def make_session(app: str, master: str | None, shuffle_partitions: int | None):
+    builder = SparkSession.builder.appName(app)
+    if master:
+        builder = builder.master(master)
+    builder = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+    )
+    if shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return builder.getOrCreate()
+
+
+def run(args: argparse.Namespace, spark: SparkSession) -> dict:
+    io = TableIO(spark)
+    docs = io.read(args.input)
+    media = io.read_if_exists(args.media) if args.media else None
+    config = ModelConfig.load(args.config) if args.config else EMPTY_CONFIG
+
+    done = io.read_if_exists(args.output) if args.resume else None
+
+    options = ExtractOptions(
+        config=config,
+        spread_partitions=args.spread_partitions,
+        broadcast_media=args.broadcast_media or None,
+        include_full_text=args.include_full_text,
+        run_id=args.run_id,
+    )
+    results = build_extract_plan(docs, media, options=options, done=done)
+
+    io.append(results, args.output)
+
+    written = io.read(args.output).where(f"_run_id = '{args.run_id}'")
+    metrics = partition_metrics(written)
+    if args.checkpoint:
+        io.append(metrics, args.checkpoint)
+
+    n_docs = written.count()
+    return {"run_id": args.run_id, "docs_written": n_docs}
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="COA span-extraction pipeline")
+    p.add_argument("--input", required=True, help="documents table/path")
+    p.add_argument("--media", default=None, help="media store table/path")
+    p.add_argument("--output", required=True, help="extracted table/path")
+    p.add_argument("--checkpoint", default=None, help="checkpoint metrics table/path")
+    p.add_argument("--config", default=None, help="frozen model_config.json")
+    p.add_argument("--run-id", default="run-0")
+    p.add_argument("--resume", action="store_true", help="anti-join completed doc_ids")
+    p.add_argument("--spread-partitions", type=int, default=None)
+    p.add_argument("--broadcast-media", action="store_true")
+    p.add_argument("--include-full-text", action="store_true")
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    spark = make_session("coa-extract", args.master, args.shuffle_partitions)
+    summary = run(args, spark)
+    print(summary)
+
+
+if __name__ == "__main__":
+    main()

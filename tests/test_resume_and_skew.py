@@ -1,0 +1,123 @@
+"""Resume idempotency + skew-spread tests (SURVEY.md §5.2.3-4).
+
+Resume: run the job on a prefix of the corpus (simulating a partially
+completed run — with parquet/Iceberg, task output only becomes visible on
+commit, so a crashed run leaves a committed prefix), then resume over the
+full input; the final table must contain every doc exactly once and match
+a from-scratch run.
+
+Skew: one 200-media-span document among thin docs; the explicit
+(doc_id, offset) hash repartition must spread the fat doc's spans across
+partitions instead of leaving them on one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from coa_ocr_simple_spark.fixtures.generate import (
+    build_skew_corpus,
+    template_coa,
+    SpanBuilder,
+    write_corpus,
+)
+import random
+
+from coa_ocr_simple_spark.jobs.extract import parse_args, run
+from coa_ocr_simple_spark.operators.assemble import decode_spans, explode_spans
+
+
+def _small_corpus(n: int) -> SpanBuilder:
+    rng = random.Random(7)
+    b = SpanBuilder()
+    for i in range(n):
+        b.add(f"doc-{i:08d}", [("text", template_coa(rng), {})])
+    return b
+
+
+def test_resume_is_idempotent_and_complete(spark, tmp_path):
+    corpus = _small_corpus(200)
+    docs_path = str(tmp_path / "docs.parquet")
+    media_path = str(tmp_path / "media.parquet")
+    write_corpus(corpus, docs_path, media_path)
+
+    out = str(tmp_path / "extracted")
+    ckpt = str(tmp_path / "checkpoint")
+
+    # run 1: first 120 docs only (simulated partial completion)
+    partial_path = str(tmp_path / "docs_partial.parquet")
+    spark.read.parquet(docs_path).where(
+        F.col("doc_id") < "doc-00000120"
+    ).write.parquet(partial_path)
+    summary1 = run(
+        parse_args(
+            [
+                "--input", partial_path, "--media", media_path,
+                "--output", out, "--checkpoint", ckpt, "--run-id", "r1",
+            ]
+        ),
+        spark,
+    )
+    assert summary1["docs_written"] == 120
+
+    # run 2: full input with --resume; only the remaining 80 are processed
+    summary2 = run(
+        parse_args(
+            [
+                "--input", docs_path, "--media", media_path,
+                "--output", out, "--checkpoint", ckpt, "--run-id", "r2",
+                "--resume",
+            ]
+        ),
+        spark,
+    )
+    assert summary2["docs_written"] == 80
+
+    final = spark.read.parquet(out)
+    assert final.count() == 200
+    assert final.select("doc_id").distinct().count() == 200  # no duplicates
+
+    # equals a from-scratch run (modulo lineage columns)
+    fresh_out = str(tmp_path / "extracted_fresh")
+    run(
+        parse_args(
+            ["--input", docs_path, "--media", media_path, "--output", fresh_out,
+             "--run-id", "rf"]
+        ),
+        spark,
+    )
+    drop = ["_run_id", "_partition_id"]
+    resumed = {r["doc_id"]: r for r in final.drop(*drop).collect()}
+    fresh = {r["doc_id"]: r for r in spark.read.parquet(fresh_out).drop(*drop).collect()}
+    assert resumed == fresh
+
+    # checkpoint lineage rows exist for both runs
+    metrics = spark.read.parquet(ckpt)
+    runs = {r["run_id"] for r in metrics.select("run_id").distinct().collect()}
+    assert {"r1", "r2"} <= runs
+    assert metrics.where("n_docs <= 0").count() == 0
+
+
+def test_skew_spread_bounds_partition_load(spark, tmp_path):
+    corpus = build_skew_corpus(n_thin=2_000, fat_spans=200)
+    docs_path = str(tmp_path / "docs.parquet")
+    media_path = str(tmp_path / "media.parquet")
+    write_corpus(corpus, docs_path, media_path)
+
+    docs = spark.read.parquet(docs_path)
+    spans = explode_spans(docs)
+    decoded = decode_spans(
+        spans, spark.read.parquet(media_path), spread_partitions=16
+    )
+    per_partition = (
+        decoded.where(F.col("doc_id") == "doc-fat")
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    counts = {r["pid"]: r["count"] for r in per_partition}
+    assert sum(counts.values()) == 200
+    # the fat doc's 200 media spans must not sit on one partition; with a
+    # (doc_id, offset) hash over 16 partitions, expect a wide spread
+    assert len(counts) >= 8
+    assert max(counts.values()) <= 40
