@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``     — flagship: the full interleaved-span extraction pipeline
+                (explode -> decode -> reassemble -> extract) over a
+                deterministic spans-ification of the sf0.001 documents
+                table (text spans + synthesized scanned-PDF/image media
+                spans resolved through an on-the-fly media store).
+``queries``   — one entry per implemented operator family (SURVEY.md §2 +
+                net-new training-data ops); each runs the engine's real
+                path (pandas UDFs over coa_ocr_simple_spark.core, or pure
+                DataFrame ops).
+``oracle_sql``— DuckDB-equivalent SQL for every query (validated locally
+                via scripts/check_oracles.py with the driver's compare
+                semantics).
 """
 
 from __future__ import annotations
@@ -12,27 +19,69 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _spansify(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministically wrap the flat documents table into the engine's
+    interleaved spans shape (BASELINE.json input_hint): doc_id % 10 == 0
+    becomes a 2-page scanned PDF (OCR path), % 10 == 5 an image, the rest
+    single text spans.  The media store is derived from the same rows —
+    no external data, fully reproducible."""
+    doc_id = F.concat(F.lit("doc-"), F.format_string("%08d", F.col("doc_id")))
+    media_ref = F.concat(F.lit("media://"), doc_id, F.lit("/0"))
+    mod = F.col("doc_id") % 10
+
+    half = (F.length("text") / 2).cast("int")
+    first_page = F.col("text").substr(F.lit(1), half)
+    second_page = F.col("text").substr(half + 1, F.length("text"))
+
+    kind = F.when(mod == 0, F.lit("pdf")).when(mod == 5, F.lit("image")).otherwise(
+        F.lit("text")
+    )
+    span = F.struct(
+        kind.alias("kind"),
+        F.when(kind == "text", F.col("text")).alias("text"),
+        F.when(kind != "text", media_ref).alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    )
+    spans_df = docs.select(doc_id.alias("doc_id"), F.array(span).alias("spans"))
+
+    media_df = docs.where(mod.isin(0, 5)).select(
+        media_ref.alias("media_ref"),
+        F.array().cast("array<string>").alias("pages"),  # scanned: no text layer
+        F.when(mod == 0, F.array(first_page, second_page))
+        .otherwise(F.array(F.col("text")))
+        .alias("ocr_pages"),
+    )
+    return spans_df, media_df
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from coa_ocr_simple_spark.plans.extract_plan import (
+        ExtractOptions,
+        build_extract_plan,
+    )
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    spans_df, media_df = _spansify(docs)
+    return build_extract_plan(
+        spans_df,
+        media_df,
+        options=ExtractOptions(spread_partitions=8, run_id="entry-smoke"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from coa_ocr_simple_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from coa_ocr_simple_spark.plans.driver_queries import ORACLES
+
+    return dict(ORACLES)
