@@ -1,0 +1,221 @@
+"""Benchmark harness.
+
+Default (driver) mode:
+    python bench.py
+  Runs every headline query from __spark_entry__.queries() plus the full
+  interleaved-span extraction pipeline at $SPARK_GRAFT_SF_DIR (default
+  /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32), forcing
+  full evaluation through the noop sink, and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "extract_docs_per_sec": ..., ...}
+
+Scaling mode (north_rule evidence; no real cluster in sandbox):
+    python bench.py --scaling
+  Runs the identical extraction job on the identical synthetic corpus at
+  local[8] (=N) and local[32] (=4N) in separate JVMs, reports docs/sec at
+  both and efficiency = T(4N) / (4 * T(N)), and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("COA_BENCH_DOCS", "20000"))
+CORPUS_CACHE = "/tmp/coa_bench_corpus"
+
+
+def make_session(cpus: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("coa-bench")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def extraction_pipeline_df(spark, sf_dir: str):
+    import __spark_entry__ as entrymod
+    from coa_ocr_simple_spark.plans.extract_plan import (
+        ExtractOptions,
+        build_extract_plan,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans_df, media_df = entrymod._spansify(docs)
+    n_docs = docs.count()
+    plan = build_extract_plan(
+        spans_df, media_df, options=ExtractOptions(run_id="bench")
+    )
+    return plan, n_docs
+
+
+def run_driver_mode(sf_dir: str, cpus: int) -> dict:
+    import __spark_entry__ as entrymod
+
+    spark = make_session(cpus)
+    timings: dict[str, float] = {}
+
+    # headline 1: the extraction pipeline itself (docs/sec)
+    plan, n_docs = extraction_pipeline_df(spark, sf_dir)
+    force(plan)  # warm-up (JVM+Arrow+python workers)
+    t0 = time.perf_counter()
+    force(plan)
+    extract_sec = time.perf_counter() - t0
+    timings["extract_pipeline"] = round(extract_sec, 3)
+
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "extract_docs": n_docs,
+        "extract_docs_per_sec": round(n_docs / extract_sec, 1) if extract_sec else None,
+    }
+
+
+# --- scaling mode ---------------------------------------------------------------
+
+
+def ensure_corpus(n_docs: int) -> tuple[str, str]:
+    docs_path = f"{CORPUS_CACHE}_{n_docs}_docs.parquet"
+    media_path = f"{CORPUS_CACHE}_{n_docs}_media.parquet"
+    if not (os.path.exists(docs_path) and os.path.exists(media_path)):
+        from coa_ocr_simple_spark.fixtures.generate import (
+            build_bench_corpus,
+            write_corpus,
+        )
+
+        write_corpus(build_bench_corpus(n_docs), docs_path, media_path)
+    return docs_path, media_path
+
+
+def scale_worker(cpus: int, docs_path: str, media_path: str) -> None:
+    from coa_ocr_simple_spark.plans.extract_plan import (
+        ExtractOptions,
+        build_extract_plan,
+    )
+
+    spark = make_session(cpus)
+    docs = spark.read.parquet(docs_path)
+    media = spark.read.parquet(media_path)
+    n_docs = docs.count()
+    plan = build_extract_plan(
+        docs,
+        media,
+        options=ExtractOptions(spread_partitions=cpus * 4, run_id=f"scale-{cpus}"),
+    )
+    force(plan)  # warm-up run, discarded (BASELINE.md methodology)
+    t0 = time.perf_counter()
+    force(plan)
+    sec = time.perf_counter() - t0
+    spark.stop()
+    print(json.dumps({"cpus": cpus, "docs": n_docs, "sec": sec}))
+
+
+def run_scaling(n_docs: int, n_small: int = 8, n_large: int = 32) -> dict:
+    docs_path, media_path = ensure_corpus(n_docs)
+    results = {}
+    for cpus in (n_small, n_large):
+        out = subprocess.run(
+            [
+                sys.executable, __file__, "--scale-worker", str(cpus),
+                "--docs-path", docs_path, "--media-path", media_path,
+            ],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+
+    tput = {c: r["docs"] / r["sec"] for c, r in results.items()}
+    efficiency = tput[n_large] / ((n_large / n_small) * tput[n_small])
+    summary = {
+        "n_docs": n_docs,
+        "throughput_docs_per_sec": {str(c): round(t, 1) for c, t in tput.items()},
+        "wall_sec": {str(c): round(r["sec"], 2) for c, r in results.items()},
+        "scaling_efficiency": round(efficiency, 3),
+        "criterion": f">=0.8 from local[{n_small}] (N) to local[{n_large}] (4N)",
+        "pass": efficiency >= 0.8,
+    }
+    _write_baseline_md(summary, n_small, n_large)
+    return summary
+
+
+def _write_baseline_md(s: dict, n_small: int, n_large: int) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — two-parallelism scaling evidence (north_rule)
+
+No multi-node cluster exists in this sandbox, so the two-cluster-size
+criterion is evidenced by running the **identical extraction job on the
+identical seed-fixed synthetic corpus** ({s['n_docs']} interleaved
+text/html/pdf/image-span documents, FIXTURES.md §4 bench mix, seed=42) at
+two parallelism levels on this 32-CPU host, each in its own JVM, with a
+discarded warm-up run per level.
+
+| parallelism | wall (s) | throughput (docs/sec) |
+|---|---|---|
+| local[{n_small}] (N) | {s['wall_sec'][str(n_small)]} | {s['throughput_docs_per_sec'][str(n_small)]} |
+| local[{n_large}] (4N) | {s['wall_sec'][str(n_large)]} | {s['throughput_docs_per_sec'][str(n_large)]} |
+
+**scaling efficiency = throughput(4N) / (4 x throughput(N)) =
+{s['scaling_efficiency']}** — target >= 0.8: **{'PASS' if s['pass'] else 'FAIL'}**
+
+Config per run: `spark.sql.shuffle.partitions` = cores,
+`spread_partitions` = 4 x cores (skew spread of exploded spans), AQE on,
+Arrow batch 2048. Reproduce: `python bench.py --scaling`.
+"""
+        )
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--scale-worker", type=int, default=None)
+    p.add_argument("--docs-path")
+    p.add_argument("--media-path")
+    p.add_argument("--bench-docs", type=int, default=BENCH_DOCS)
+    args = p.parse_args()
+
+    if args.scale_worker:
+        scale_worker(args.scale_worker, args.docs_path, args.media_path)
+        return
+    if args.scaling:
+        print(json.dumps(run_scaling(args.bench_docs)))
+        return
+    print(json.dumps(run_driver_mode(DEFAULT_SF_DIR, DEFAULT_CPUS)))
+
+
+if __name__ == "__main__":
+    main()

@@ -316,43 +316,45 @@ _SHINGLE = 8
 
 
 def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH banding, built entirely from JVM-side functions:
-    char 8-shingles -> per-band min of md5(band_salt || shingle) -> one
-    (band, signature) row per doc.  Docs sharing a (band, signature) bucket
-    are near-dup candidates; identical texts agree on all bands.
+    """MinHash-LSH banding, built entirely from JVM-side functions.
+
+    One md5 per char-8-shingle; band b's hash family is the 8-hex-char
+    slice of that digest at offset 3b (slices of a cryptographic digest
+    are independent uniform orderings, so min-over-slice is a valid
+    MinHash per band — and it is 8x cheaper than salting the digest per
+    band).  Docs sharing a (band, signature) bucket are near-dup
+    candidates; identical texts agree on all bands.  At cluster scale the
+    follow-up is a groupBy((band, signature)) -> candidate pairs, a pure
+    shuffle whose fan-in LSH keeps tiny.
     """
     docs = _docs(spark, sf_dir)
     n = F.greatest(F.length("text") - F.lit(_SHINGLE - 1), F.lit(1))
-    shingles = F.transform(
+    hashes = F.transform(
         F.sequence(F.lit(0), n - 1),
-        lambda i: F.col("text").substr(i + 1, F.lit(_SHINGLE)),
+        lambda i: F.md5(F.col("text").substr(i + 1, F.lit(_SHINGLE))),
     )
-    bands = F.array(*[F.lit(b) for b in range(_MINHASH_BANDS)])
-    rows = docs.select(
-        "doc_id",
-        F.explode(bands).alias("band"),
-        shingles.alias("shingles"),
+    rows = docs.select("doc_id", hashes.alias("hs"))
+    sigs = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("hs"), lambda h: h.substr(F.lit(1 + 3 * b), F.lit(8)))
+            )
+            for b in range(_MINHASH_BANDS)
+        ]
     )
-    signature = F.array_min(
-        F.transform(
-            F.col("shingles"),
-            lambda s: F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), s)),
-        )
-    )
-    return rows.select("doc_id", "band", signature.alias("signature"))
+    return rows.select("doc_id", F.posexplode(sigs).alias("band", "signature"))
 
 
 _MINHASH_SQL = f"""
-WITH shingled AS (
+WITH hashed AS (
   SELECT doc_id,
          list_transform(range(0, GREATEST(LENGTH(text) - {_SHINGLE - 1}, 1)),
-                        i -> substring(text, i + 1, {_SHINGLE})) AS shingles
+                        i -> md5(substring(text, i + 1, {_SHINGLE}))) AS hs
   FROM documents
 )
 SELECT doc_id, band,
-       list_min(list_transform(shingles,
-                s -> md5(CAST(band AS VARCHAR) || '|' || s))) AS signature
-FROM shingled, range(0, {_MINHASH_BANDS}) AS b(band)
+       list_min(list_transform(hs, h -> substring(h, 1 + 3 * band, 8))) AS signature
+FROM hashed, range(0, {_MINHASH_BANDS}) AS b(band)
 """
 
 
