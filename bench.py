@@ -43,6 +43,10 @@ def make_session(cpus: int, shuffle_partitions: int | None = None):
         .appName("coa-bench")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
+        # size-based post-shuffle coalescing collapses CPU-bound pandas-UDF
+        # stages (tiny bytes, heavy per-row regex CPU) onto too few cores;
+        # keep AQE's skew handling, drop its coalescing for this workload
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")
@@ -116,7 +120,7 @@ def ensure_corpus(n_docs: int) -> tuple[str, str]:
             write_corpus,
         )
 
-        write_corpus(build_bench_corpus(n_docs), docs_path, media_path)
+        write_corpus(build_bench_corpus(n_docs), docs_path, media_path, n_files=32)
     return docs_path, media_path
 
 

@@ -323,11 +323,29 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def write_corpus(builder: SpanBuilder, docs_path: str, media_path: str) -> None:
+def write_corpus(
+    builder: SpanBuilder, docs_path: str, media_path: str, n_files: int = 1
+) -> None:
+    """Write the corpus as Parquet.  ``n_files > 1`` writes a directory of
+    part files (the realistic shape of a large table — it is also what
+    gives the Spark scan its input splits; a single small file can never
+    parallelize the read)."""
     docs_table = pa.Table.from_pylist(builder.docs, schema=DOCS_SCHEMA)
     media_table = pa.Table.from_pylist(builder.media, schema=MEDIA_SCHEMA)
-    pq.write_table(docs_table, docs_path)
-    pq.write_table(media_table, media_path)
+    if n_files <= 1:
+        pq.write_table(docs_table, docs_path)
+        pq.write_table(media_table, media_path)
+        return
+    import os
+
+    for path, table in ((docs_path, docs_table), (media_path, media_table)):
+        os.makedirs(path, exist_ok=True)
+        n = table.num_rows
+        per = (n + n_files - 1) // n_files
+        for i in range(n_files):
+            chunk = table.slice(i * per, per)
+            if chunk.num_rows:
+                pq.write_table(chunk, os.path.join(path, f"part-{i:05d}.parquet"))
 
 
 def media_lookup(builder: SpanBuilder):

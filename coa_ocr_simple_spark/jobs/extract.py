@@ -34,6 +34,9 @@ def make_session(app: str, master: str | None, shuffle_partitions: int | None):
     builder = (
         builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # extraction stages are CPU-bound pandas UDFs over few bytes; AQE's
+        # size-based coalescing would serialize them (see bench.py)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
     )

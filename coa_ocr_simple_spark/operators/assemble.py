@@ -1,35 +1,45 @@
 """Span assembly — the Spark-native replacement of the reference's
 sequential per-page loop (/root/reference/app.py:798-803; SURVEY.md §2.7).
 
-Shape of the plan (one wide shuffle, skew-spread before it):
+Shape of the plan (each span shuffled at most once before the one wide
+groupBy; text spans never shuffle before it):
 
   documents(doc_id, spans)
-    -> posexplode_outer(spans)                       [narrow]
-    -> repartition(hash(doc_id, offset))             [skew spread: a fat
-       multi-media doc's spans decode on many partitions — SURVEY §4.2.1]
-    -> left join media store on media_ref            [broadcast when small,
-       else shuffle hash join; AQE decides]
-    -> decoded = CASE kind WHEN text  -> coalesce(text,'')   [pure JVM]
-                          WHEN html  -> strip_html UDF
-                          ELSE       -> decode_media UDF
-    -> groupBy(doc_id).agg(sort_array(collect_list(struct(offset, ...))))
-                                                     [the one wide shuffle]
+    -> posexplode_outer(spans)                          [narrow]
+    -> split by kind:
+         text/html/null -> decode in place              [narrow; html strip
+                            UDF runs on even scan partitions]
+         pdf/image      -> join media store on media_ref
+                            [the join's own hash shuffle IS the skew
+                             spread: media_ref is unique per span, so a
+                             fat 200-span document's decode work lands on
+                             200 different hash buckets — no salting
+                             needed; broadcast the media side when small]
+    -> union
+    -> groupBy(doc_id).agg(array_sort(collect_list(...)))  [the one wide
+                             shuffle; null-span rows (zero-span docs)
+                             contribute no list entries but keep the group]
     -> out_spans (offset re-normalized to rank) + assembled doc text
 
-The per-document span order is restored by ``sort_array`` on the original
-``offset`` inside each group — a within-group sort, never a global one.
+Design notes for 100 TB:
+- never consume a UDF-bearing branch twice (Spark has no cross-branch CSE:
+  a second consumer re-executes the subtree — measured 2x wall);
+- AQE size-based partition coalescing must stay OFF for these stages: the
+  data is small in bytes but CPU-heavy per row (see jobs/extract.py);
+- when the media store is pre-bucketed by media_ref, the join becomes
+  shuffle-free on the media side (bucket join); the spans side still
+  shuffles once, same as here.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..core.pipeline import SPAN_JOIN
 from ..functions.udfs import make_decode_media_udf, make_strip_html_udf
 
 MEDIA_KINDS = ("pdf", "image")
-TEXT_KINDS = ("text", "html")
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:
@@ -54,66 +64,81 @@ def decode_spans(
 ) -> DataFrame:
     """Resolve media refs and decode every span to text.
 
-    spread_partitions: explicit salt-free skew spread — hash-repartition the
-    *exploded* spans on (doc_id, offset) so one hot document's media spans
-    decode across many partitions (the later groupBy reunifies them).
-    broadcast_media: force/forbid a broadcast join of the media store;
-    None lets Catalyst/AQE decide from stats.
+    Text/html spans take a narrow (no-shuffle) branch; media spans join the
+    media store.  ``spread_partitions`` only matters when the media join
+    does NOT shuffle (broadcast or absent media store): it hash-spreads the
+    media spans so a fat document's decode cost is distributed.
     """
+    strip_html_udf = make_strip_html_udf()
+    out_cols = ["doc_id", "kind", "media_ref", "offset", "decoded"]
+
+    text_branch = spans.where(
+        F.col("kind").isNull() | ~F.col("kind").isin(*MEDIA_KINDS)
+    ).select(
+        "doc_id",
+        "kind",
+        "media_ref",
+        "offset",
+        F.when(F.col("kind") == "html", strip_html_udf(F.col("text")))
+        .when(F.col("kind").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        .alias("decoded"),
+    )
+
+    media_branch = spans.where(F.col("kind").isin(*MEDIA_KINDS)).drop("text")
+    # spread BEFORE the join: pre-join span rows are ~100 bytes (no page
+    # payload yet), so this shuffle is near-free — and it is the only skew
+    # spread when the join broadcasts (planner- or AQE-chosen), in which
+    # case a fat document's decode would otherwise stay on one scan
+    # partition.  With a shuffle join the join's own hash on the unique
+    # media_ref re-spreads anyway.
     if spread_partitions:
-        spans = spans.repartition(spread_partitions, "doc_id", "offset")
+        media_branch = media_branch.repartition(spread_partitions, "doc_id", "offset")
 
     if media is not None:
         media_side = F.broadcast(media) if broadcast_media else media
-        spans = spans.join(media_side, on="media_ref", how="left")
+        media_branch = media_branch.join(media_side, on="media_ref", how="left")
     else:
-        spans = spans.withColumn("pages", F.lit(None).cast("array<string>")).withColumn(
-            "ocr_pages", F.lit(None).cast("array<string>")
-        )
+        media_branch = media_branch.withColumn(
+            "pages", F.lit(None).cast("array<string>")
+        ).withColumn("ocr_pages", F.lit(None).cast("array<string>"))
 
     decode_media_udf = make_decode_media_udf()
-    strip_html_udf = make_strip_html_udf()
-
-    decoded: Column = (
-        F.when(F.col("kind") == "text", F.coalesce(F.col("text"), F.lit("")))
-        .when(F.col("kind") == "html", strip_html_udf(F.col("text")))
-        .when(
-            F.col("kind").isin(*MEDIA_KINDS),
-            decode_media_udf(F.col("kind"), F.col("pages"), F.col("ocr_pages")),
-        )
-        .otherwise(F.lit(""))
+    media_branch = media_branch.select(
+        "doc_id",
+        "kind",
+        "media_ref",
+        "offset",
+        decode_media_udf(F.col("kind"), F.col("pages"), F.col("ocr_pages")).alias(
+            "decoded"
+        ),
     )
-    return spans.select(
-        "doc_id", "kind", "media_ref", "offset", decoded.alias("decoded")
-    )
+    return text_branch.select(*out_cols).unionByName(media_branch.select(*out_cols))
 
 
 def reassemble_documents(decoded: DataFrame) -> DataFrame:
     """Regroup decoded spans per document: ordered out_spans + joined text.
 
+    Single pass: zero-span docs arrive as one null-kind row; the
+    ``when(kind IS NOT NULL, struct)`` entry is NULL for them and
+    collect_list skips NULLs, so the group survives with an empty array —
+    no second consumption of the (expensive) upstream branch.
+
     Output: (doc_id, out_spans array<struct<kind,text,media_ref,offset>>,
              text, n_spans).
     """
-    ordered = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col("offset").alias("offset"),
-                F.col("kind").alias("kind"),
-                F.col("decoded").alias("text"),
-                F.col("media_ref").alias("media_ref"),
-            )
-        )
+    entry = F.when(
+        F.col("kind").isNotNull(),
+        F.struct(
+            F.col("offset").alias("offset"),
+            F.col("kind").alias("kind"),
+            F.coalesce(F.col("decoded"), F.lit("")).alias("text"),
+            F.col("media_ref").alias("media_ref"),
+        ),
     )
-    grouped = decoded.where(F.col("kind").isNotNull()).groupBy("doc_id").agg(
-        ordered.alias("ordered")
+    grouped = decoded.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(entry)).alias("ordered")
     )
-    # zero-span docs (null kind after outer-explode) -> empty ordered array
-    empties = (
-        decoded.where(F.col("kind").isNull())
-        .select("doc_id")
-        .withColumn("ordered", F.array().cast(grouped.schema["ordered"].dataType))
-    )
-    grouped = grouped.unionByName(empties)
 
     out_spans = F.transform(
         F.col("ordered"),
