@@ -77,11 +77,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from coa_ocr_simple_spark.plans.driver_queries import QUERIES
+    from coa_ocr_simple_spark.plans.driver_queries_ext import QUERIES_EXT
 
-    return dict(QUERIES)
+    return {**QUERIES, **QUERIES_EXT}
 
 
 def oracle_sql() -> dict[str, str]:
     from coa_ocr_simple_spark.plans.driver_queries import ORACLES
+    from coa_ocr_simple_spark.plans.driver_queries_ext import ORACLES_EXT
 
-    return dict(ORACLES)
+    return {**ORACLES, **ORACLES_EXT}

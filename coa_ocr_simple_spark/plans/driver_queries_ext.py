@@ -1,0 +1,346 @@
+"""Wave-2 driver queries: similarity search, SimHash near-dup, language
+ID / quality gating, event sessionization.
+
+Cross-engine determinism techniques (shared with driver_queries.py):
+- embeddings are integer-quantized (round(x*1000)) before any dot product,
+  so similarity scores are exact BIGINTs in both engines — the standard
+  int8/int16 quantization trick, which is also the 100-TB scale path
+  (4x smaller vectors, SIMD-friendly);
+- hash-derived pseudo-randomness comes from md5 hex digits mapped to ints
+  via position-in-'0123456789abcdef' (instr), avoiding hex->int casts that
+  DuckDB lacks;
+- every aggregate/rank tie-break is explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --- approximate similarity search (brute-force baseline) -----------------------
+
+_TOPK = 5
+_QMOD = 100  # vec_id % _QMOD == 0 -> query vector
+
+
+def _quantize(col):
+    return F.transform(col, lambda x: F.round(x * 1000).cast("long"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k nearest neighbors by quantized dot product.
+
+    The query side (|Q| = N/_QMOD) broadcasts; candidates stream past it —
+    at cluster scale this is the exact-scoring baseline an IVF/LSH route
+    is validated against (see q_ann_lsh_bucketed for the bucketed path).
+    """
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qv")
+    )
+    queries = emb.where(F.col("vec_id") % _QMOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("query_qv")
+    )
+    pairs = emb.where(F.col("vec_id") % _QMOD != 0).crossJoin(F.broadcast(queries))
+    dot = F.aggregate(
+        F.zip_with("qv", "query_qv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), dot.alias("dot_q")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOPK)
+        .select("query_id", "rank", "neighbor_id", "dot_q")
+    )
+
+
+_ANN_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS query_qv
+  FROM embeddings WHERE vec_id % {_QMOD} = 0
+), c AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id % {_QMOD} != 0
+), scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_dot_product(qv, query_qv) AS BIGINT) AS dot_q
+  FROM c CROSS JOIN q
+)
+SELECT query_id, rank, neighbor_id, dot_q FROM (
+  SELECT query_id, neighbor_id, dot_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot_q DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_TOPK}
+"""
+
+
+# --- sign-LSH bucketing (the ANN scale path) -------------------------------------
+
+_LSH_PLANES = 12
+
+
+def _hex_val(char_col):
+    """hex char -> 0..15 via position in the hex alphabet (cross-engine)."""
+    return F.instr(F.lit(_HEX), char_col) - 1
+
+
+def _plane_component(plane: int, dim_index):
+    """Deterministic pseudo-random hyperplane component in [-7.5, 7.5]:
+    the hex digit of md5('p{plane}|{i}') minus 7.5, scaled to int (x2-15
+    keeps everything integral: component = 2*digit - 15, odd, never 0)."""
+    digest = F.md5(F.concat(F.lit(f"p{plane}|"), dim_index.cast("string")))
+    return _hex_val(F.substring(digest, 1, 1)) * 2 - 15
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket assignment: vectors agreeing on all _LSH_PLANES
+    hyperplane signs share a bucket; at scale, candidate generation
+    becomes a groupBy(bucket) instead of a cross join."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qv")
+    )
+    bits = []
+    for p in range(_LSH_PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                "qv",
+                F.transform(
+                    F.sequence(F.lit(0), F.size("qv") - 1),
+                    lambda i: _plane_component(p, i).cast("long"),
+                ),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return emb.select("vec_id", F.concat(*bits).alias("bucket"))
+
+
+def _lsh_sql() -> str:
+    bit_exprs = []
+    for p in range(_LSH_PLANES):
+        bit_exprs.append(
+            "CASE WHEN CAST(list_dot_product(qv, "
+            f"list_transform(range(0, len(qv)), i -> "
+            f"CAST((instr('{_HEX}', substring(md5('p{p}|' || CAST(i AS VARCHAR)), 1, 1)) - 1) * 2 - 15 AS BIGINT))"
+            ") AS BIGINT) >= 0 THEN '1' ELSE '0' END"
+        )
+    bits = " || ".join(bit_exprs)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT vec_id, {bits} AS bucket FROM q
+"""
+
+
+# --- SimHash near-dup signature ----------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over whitespace tokens: bit i is the majority vote of
+    the low bit of hex digit i of md5(token).  Near-duplicate docs differ
+    in O(1) bits; exact duplicates agree exactly."""
+    docs = _read(spark, sf_dir, "documents")
+    tokens = F.when(F.length(F.trim(F.col("text"))) == 0, F.array()).otherwise(
+        F.split(F.trim(F.col("text")), r"\s+")
+    )
+    hashes = F.transform(tokens, lambda t: F.md5(t))
+    bits = []
+    for i in range(_SIMHASH_BITS):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (_hex_val(F.substring(h, i + 1, 1)) % 2) * 2
+            - 1,
+        )
+        bits.append(F.when(votes > 0, F.lit("1")).otherwise(F.lit("0")))
+    return docs.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    bit_exprs = []
+    for i in range(_SIMHASH_BITS):
+        bit_exprs.append(
+            "CASE WHEN list_sum(list_transform(hs, h -> "
+            f"((instr('{_HEX}', substring(h, {i + 1}, 1)) - 1) % 2) * 2 - 1"
+            ")) > 0 THEN '1' ELSE '0' END"
+        )
+    bits = " || ".join(bit_exprs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
+              ELSE list_transform(regexp_split_to_array(TRIM(text), '\\s+'),
+                                  t -> md5(t)) END AS hs
+  FROM documents
+)
+SELECT doc_id, {bits} AS simhash FROM toks
+"""
+
+
+# --- language ID + quality gate ------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "de": ["der", "die", "und", "das", "nicht", "von", "mit", "ist", "den", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "un", "une", "est", "pour", "que"],
+}
+
+
+def q_language_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (en/de/fr/unknown) + integer-threshold
+    quality gate — the standard first filters of a training-data pipeline,
+    entirely JVM-side."""
+    docs = _read(spark, sf_dir, "documents")
+    tokens = F.when(F.length(F.trim(F.col("text"))) == 0, F.array()).otherwise(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    )
+    docs = docs.select("doc_id", tokens.alias("toks"))
+    hits = {}
+    for lang, words in _STOPWORDS.items():
+        bank = F.array(*[F.lit(w) for w in words])
+        hits[lang] = F.size(F.filter(F.col("toks"), lambda t: F.array_contains(bank, t)))
+    en, de, fr = hits["en"], hits["de"], hits["fr"]
+    lang = (
+        F.when((en > de) & (en > fr), F.lit("en"))
+        .when((de > en) & (de > fr), F.lit("de"))
+        .when((fr > en) & (fr > de), F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+    n_tokens = F.size("toks")
+    max_len = F.coalesce(
+        F.array_max(F.transform(F.col("toks"), lambda t: F.length(t))), F.lit(0)
+    )
+    quality = (
+        (n_tokens >= 5)
+        & (max_len < 50)
+        & ((en + de + fr) * 20 >= n_tokens)  # >=5% stopwords, integer math
+    )
+    return docs.select(
+        "doc_id",
+        lang.alias("lang_guess"),
+        en.alias("sw_en"),
+        de.alias("sw_de"),
+        fr.alias("sw_fr"),
+        n_tokens.alias("n_tokens"),
+        quality.cast("boolean").alias("is_quality"),
+    )
+
+
+def _language_quality_sql() -> str:
+    banks = {k: repr(v) for k, v in _STOPWORDS.items()}
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
+              ELSE regexp_split_to_array(lower(TRIM(text)), '\\s+') END AS t
+  FROM documents
+), hits AS (
+  SELECT doc_id, t,
+         len(list_filter(t, x -> list_contains({banks['en']}, x))) AS sw_en,
+         len(list_filter(t, x -> list_contains({banks['de']}, x))) AS sw_de,
+         len(list_filter(t, x -> list_contains({banks['fr']}, x))) AS sw_fr
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN sw_en > sw_de AND sw_en > sw_fr THEN 'en'
+       WHEN sw_de > sw_en AND sw_de > sw_fr THEN 'de'
+       WHEN sw_fr > sw_en AND sw_fr > sw_de THEN 'fr'
+       ELSE 'unknown' END AS lang_guess,
+  sw_en, sw_de, sw_fr,
+  len(t) AS n_tokens,
+  (len(t) >= 5 AND COALESCE(list_max(list_transform(t, x -> LENGTH(x))), 0) < 50
+   AND (sw_en + sw_de + sw_fr) * 20 >= len(t)) AS is_quality
+FROM hits
+"""
+
+
+# --- event sessionization (window/analytic coverage) -----------------------------------
+
+_SESSION_GAP_MIN = 30
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after a >30-min gap;
+    classic lag + cumulative-sum window composition, then per-session
+    rollup.  At scale this is one shuffle on user_id with in-partition
+    ordering."""
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; only gap *differences* matter, so any fixed
+    # epoch base cancels out in the subtraction
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > _SESSION_GAP_MIN * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessions = (
+        events.withColumn("new_s", new_session)
+        .withColumn("session_seq", F.sum("new_s").over(w))
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        F.max("event_id").alias("last_event_id"),
+        F.sum(F.round(F.col("value") * 1000).cast("long")).alias("value_sum_m"),
+    )
+
+
+_SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, value, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > {_SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_id, value,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS first_event_id,
+       MAX(event_id) AS last_event_id,
+       CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS value_sum_m
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+QUERIES_EXT = {
+    "ann_topk": q_ann_topk,
+    "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "dedup_simhash": q_dedup_simhash,
+    "language_quality": q_language_quality,
+    "sessionize_events": q_sessionize_events,
+}
+
+ORACLES_EXT = {
+    "ann_topk": _ANN_TOPK_SQL,
+    "ann_lsh_bucketed": _lsh_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "language_quality": _language_quality_sql(),
+    "sessionize_events": _SESSIONIZE_SQL,
+}
