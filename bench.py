@@ -130,7 +130,10 @@ def scale_worker(cpus: int, docs_path: str, media_path: str) -> None:
         build_extract_plan,
     )
 
-    spark = make_session(cpus)
+    # shuffle partitions at 4x slots: fine enough that the 5% fat documents
+    # cannot straggle the extract stage, coarse enough to amortize task
+    # launch (same ratio both levels, so the comparison stays fair)
+    spark = make_session(cpus, shuffle_partitions=cpus * 4)
     docs = spark.read.parquet(docs_path)
     media = spark.read.parquet(media_path)
     n_docs = docs.count()
@@ -166,8 +169,13 @@ def run_scaling(n_docs: int, n_small: int = 8, n_large: int = 32) -> dict:
     docs_path, media_path = ensure_corpus(n_docs)
     results = {}
     for cpus in (n_small, n_large):
+        # pin the whole process tree (JVM + python workers) to exactly
+        # `cpus` CPUs: a faithful N-core "cluster" — otherwise the small
+        # run's JVM shuffle/GC threads borrow the idle cores and inflate
+        # its throughput, understating true scaling efficiency
         out = subprocess.run(
             [
+                "taskset", "-c", f"0-{cpus - 1}",
                 sys.executable, __file__, "--scale-worker", str(cpus),
                 "--docs-path", docs_path, "--media-path", media_path,
             ],

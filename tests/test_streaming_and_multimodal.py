@@ -1,0 +1,79 @@
+"""Streaming front-end + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from coa_ocr_simple_spark.fixtures.generate import SpanBuilder, template_coa, write_corpus
+from coa_ocr_simple_spark.operators.multimodal import (
+    DeterministicFeatureExtractor,
+    RealImageDecoder,
+    media_features,
+)
+from coa_ocr_simple_spark.streaming.extract_stream import run_streaming_extract
+
+
+def test_streaming_equals_batch(spark, tmp_path, parity_corpus):
+    """availableNow drain over the parity corpus == batch extraction."""
+    src = str(tmp_path / "stream_src")
+    rng = random.Random(3)
+    b = SpanBuilder()
+    for i in range(60):
+        b.add(f"doc-{i:08d}", [("text", template_coa(rng), {})])
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    write_corpus(b, src + "/docs.parquet", str(tmp_path / "m.parquet"))
+
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "stream_ckpt")
+    run_streaming_extract(spark, src, None, out, ckpt)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 60
+    assert got.select("doc_id").distinct().count() == 60
+
+    # new files arriving are picked up incrementally, earlier docs not redone
+    b2 = SpanBuilder()
+    for i in range(60, 80):
+        b2.add(f"doc-{i:08d}", [("text", template_coa(rng), {})])
+    write_corpus(b2, src + "/docs2.parquet", str(tmp_path / "m2.parquet"))
+    run_streaming_extract(spark, src, None, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 80
+    assert got.select("doc_id").distinct().count() == 80
+
+
+def test_media_features_deterministic_and_partition_preserving(spark, parity_corpus):
+    media = spark.read.parquet(parity_corpus["media_path"])
+    feats = media_features(media)
+    rows = {r["media_ref"]: r for r in feats.collect()}
+    assert set(rows) == {m["media_ref"] for m in parity_corpus["builder"].media}
+    for m in parity_corpus["builder"].media:
+        row = rows[m["media_ref"]]
+        assert row["n_pages"] == len(m["pages"]) + len(m["ocr_pages"])
+        assert len(row["features"]) == 16
+        assert all(0.0 <= f <= 1.0 for f in row["features"])
+    # determinism: rerun produces identical features
+    again = {r["media_ref"]: r["features"] for r in media_features(media).collect()}
+    assert all(again[k] == rows[k]["features"] for k in again)
+    # no shuffle in the plan
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_real_decoder_is_gated():
+    import pytest
+
+    decoder = RealImageDecoder()
+    if not decoder._available:
+        with pytest.raises(NotImplementedError):
+            decoder.features(b"bytes")
+
+
+def test_feature_extractor_stability():
+    e = DeterministicFeatureExtractor()
+    assert e.features(b"abc") == e.features(b"abc")
+    assert e.features(b"abc") != e.features(b"abd")
