@@ -77,13 +77,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from coa_ocr_simple_spark.plans.driver_queries import QUERIES
+    from coa_ocr_simple_spark.plans.driver_queries_dedup import QUERIES_DEDUP
     from coa_ocr_simple_spark.plans.driver_queries_ext import QUERIES_EXT
 
-    return {**QUERIES, **QUERIES_EXT}
+    return {**QUERIES, **QUERIES_EXT, **QUERIES_DEDUP}
 
 
 def oracle_sql() -> dict[str, str]:
     from coa_ocr_simple_spark.plans.driver_queries import ORACLES
+    from coa_ocr_simple_spark.plans.driver_queries_dedup import ORACLES_DEDUP
     from coa_ocr_simple_spark.plans.driver_queries_ext import ORACLES_EXT
 
-    return {**ORACLES, **ORACLES_EXT}
+    return {**ORACLES, **ORACLES_EXT, **ORACLES_DEDUP}

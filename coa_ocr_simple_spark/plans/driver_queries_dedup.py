@@ -1,0 +1,187 @@
+"""Wave-3 driver queries: pairwise near-duplicate detection modalities.
+
+Completes the dedup family (exact + MinHash bands + SimHash are in the
+other modules): n-gram Jaccard pair scoring, MinHash-LSH candidate pairs
+(the band buckets turned into actual pairs), and embedding-cosine
+near-duplicates via quantized integer math.
+
+Pair-generation strategy at 100 TB: never all-pairs — candidates come
+from an equi-join on a bucket key (band signature / simhash / LSH bucket),
+which LSH keeps small per bucket; the expensive exact score runs only on
+candidates.  At the driver's sf the candidate sets are small enough to
+verify against DuckDB exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .driver_queries import _MINHASH_BANDS, q_dedup_minhash_bands
+from .driver_queries_ext import _quantize
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- MinHash-LSH candidate pairs ---------------------------------------------------
+
+
+def q_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-join the band signatures into unordered candidate pairs with
+    the number of agreeing bands (more bands = higher estimated Jaccard)."""
+    bands = q_dedup_minhash_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.signature") == F.col("b.signature"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands_agree"))
+    )
+    return pairs
+
+
+def _minhash_pairs_sql() -> str:
+    from .driver_queries import _MINHASH_SQL
+
+    return f"""
+WITH bands AS ({_MINHASH_SQL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*) AS n_bands_agree
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.signature = b.signature AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+# --- n-gram Jaccard pair scoring ------------------------------------------------------
+
+_NGRAM = 5
+_JACCARD_PCT_MIN = 0  # emit all candidate pairs' scores; threshold downstream
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on MinHash candidates: distinct char-5-grams
+    per doc, pairs from the band buckets, |A∩B|/|A∪B| as an integer
+    percentage (floor), computed via array ops — exact in both engines."""
+    docs = _docs(spark, sf_dir)
+    n = F.greatest(F.length("text") - F.lit(_NGRAM - 1), F.lit(1))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.col("text").substr(i + 1, F.lit(_NGRAM)),
+        )
+    )
+    gram_sets = docs.select("doc_id", grams.alias("grams"))
+
+    candidates = q_minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    a = gram_sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    b = gram_sets.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    joined = candidates.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        inter.alias("n_common_grams"),
+        union.alias("n_total_grams"),
+        F.floor(inter * 100 / union).cast("long").alias("jaccard_pct"),
+    )
+
+
+def _ngram_jaccard_sql() -> str:
+    return f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(0, GREATEST(LENGTH(text) - {_NGRAM - 1}, 1)),
+             i -> substring(text, i + 1, {_NGRAM}))) AS g
+  FROM documents
+), pairs AS ({_minhash_pairs_sql()})
+SELECT p.doc_a, p.doc_b,
+       len(list_intersect(a.g, b.g)) AS n_common_grams,
+       len(list_distinct(list_concat(a.g, b.g))) AS n_total_grams,
+       CAST(FLOOR(len(list_intersect(a.g, b.g)) * 100.0 /
+            len(list_distinct(list_concat(a.g, b.g)))) AS BIGINT) AS jaccard_pct
+FROM pairs p
+JOIN grams a ON p.doc_a = a.doc_id
+JOIN grams b ON p.doc_b = b.doc_id
+"""
+
+
+# --- embedding-cosine near-duplicates --------------------------------------------------
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: all vector pairs with quantized cosine above a threshold (0.4 here — the synthetic embeddings are near-orthogonal random vectors; a production near-dup run would use ~0.95).
+
+    Threshold as a pure integer cross-multiplication — no division, no
+    floats, so Spark and DuckDB agree bit-for-bit:
+        cos > T  <=>  dot > 0  AND  10000*dot^2 > (10000*T^2)*|a|^2*|b|^2
+
+    Bounded self-join at this sf; at scale the LSH buckets
+    (q_ann_lsh_bucketed) pre-filter the pairs.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qv")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("qv").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("qv").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+
+    def dec_sum(arr_col):
+        return F.aggregate(
+            arr_col,
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc + x.cast("decimal(38,0)"),
+        )
+
+    dot = dec_sum(F.zip_with("va", "vb", lambda x, y: x * y))
+    na = dec_sum(F.transform("va", lambda x: x * x))
+    nb = dec_sum(F.transform("vb", lambda x: x * x))
+    scored = pairs.select(
+        "id_a", "id_b", dot.alias("dot"), na.alias("na"), nb.alias("nb")
+    )
+    return scored.where(
+        (F.col("dot") > 0)
+        & (F.col("dot") * F.col("dot") * 10000 > F.col("na") * F.col("nb") * 1600)
+    ).select("id_a", "id_b", F.col("dot").cast("long").alias("dot_q"))
+
+
+def _embedding_neardup_sql() -> str:
+    return """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_dot_product(a.qv, b.qv) AS HUGEINT) AS dot,
+         CAST(list_dot_product(a.qv, a.qv) AS HUGEINT) AS na,
+         CAST(list_dot_product(b.qv, b.qv) AS HUGEINT) AS nb
+  FROM q a JOIN q b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot_q
+FROM scored
+WHERE dot > 0 AND 10000 * dot * dot > 1600 * na * nb
+"""
+
+
+QUERIES_DEDUP = {
+    "minhash_candidate_pairs": q_minhash_candidate_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_neardup": q_embedding_neardup,
+}
+
+ORACLES_DEDUP = {
+    "minhash_candidate_pairs": _minhash_pairs_sql(),
+    "ngram_jaccard_pairs": _ngram_jaccard_sql(),
+    "embedding_neardup": _embedding_neardup_sql(),
+}
