@@ -70,6 +70,65 @@ def make_strip_html_udf():
     return strip_html_udf
 
 
+def make_fused_extractor_udf(config_json: str):
+    """raw span array (with joined media pages) -> full extraction result.
+
+    One Python crossing per document instead of two (decode UDF + extract
+    UDF): the UDF sorts the spans, decodes each (text pass-through, HTML
+    strip, PDF/image page-cap decode), assembles the document text, and
+    runs the frozen process_document — i.e. it calls exactly the oracle's
+    ``extract_document``.  Halves the Arrow traffic and removes one whole
+    stage of JVM<->Python waiting; measured ~10% wall at 16 cores.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    from ..core.pipeline import extract_document
+    from .schemas import SPAN
+
+    schema = StructType(
+        [StructField("out_spans", ArrayType(SPAN))]
+        + list(EXTRACT_RESULT.fields)
+        + [StructField("n_spans", IntegerType()), StructField("full_text", StringType())]
+    )
+
+    @pandas_udf(schema)
+    def fused_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        config = _config_from_json(config_json)
+        columns = [f.name for f in schema.fields]
+        for span_lists in batches:
+            rows = []
+            for raw in span_lists:
+                spans = []
+                pages_by_ref = {}
+                for s in raw if raw is not None else []:
+                    if s is None or s.get("kind") is None:
+                        continue
+                    spans.append(
+                        {
+                            "kind": s["kind"],
+                            "text": s["text"],
+                            "media_ref": s["media_ref"],
+                            "offset": s["offset"],
+                        }
+                    )
+                    if s["media_ref"] is not None:
+                        pages_by_ref[s["media_ref"]] = (
+                            list(s["pages"]) if s["pages"] is not None else [],
+                            list(s["ocr_pages"]) if s["ocr_pages"] is not None else [],
+                        )
+                oracle = extract_document(
+                    "", spans, lambda ref: pages_by_ref.get(ref, ([], [])), config
+                )
+                row = result_to_row(oracle)
+                row["out_spans"] = oracle["out_spans"]
+                row["n_spans"] = len(oracle["out_spans"])
+                row["full_text"] = oracle["full_text"]
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=columns)
+
+    return fused_udf
+
+
 def make_extractor_udf(config_json: str):
     """assembled document text -> EXTRACT_RESULT struct.
 

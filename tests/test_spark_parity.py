@@ -31,14 +31,16 @@ def _oracle_rows(corpus) -> dict[str, dict]:
     return rows
 
 
-@pytest.fixture(scope="module")
-def pipeline_rows(spark, parity_corpus):
+@pytest.fixture(scope="module", params=["fused", "staged"])
+def pipeline_rows(request, spark, parity_corpus):
     docs = spark.read.parquet(parity_corpus["docs_path"])
     media = spark.read.parquet(parity_corpus["media_path"])
     result = build_extract_plan(
         docs,
         media,
-        options=ExtractOptions(spread_partitions=16, run_id="parity"),
+        options=ExtractOptions(
+            spread_partitions=16, run_id="parity", fused=request.param == "fused"
+        ),
     )
     return {r["doc_id"]: r.asDict(recursive=True) for r in result.collect()}
 
