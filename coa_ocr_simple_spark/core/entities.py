@@ -44,9 +44,23 @@ from .patterns import (
 from .tables import extract_test_results
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _rx(pattern: str):
+    """Compile-once cache for bank patterns.
+
+    Python's builtin re cache tops out at 512 entries and pays a
+    per-call args-parse; the extraction banks + discovery patterns are hot
+    enough (dozens of searches per document at 10^12 docs) that the
+    explicit cache is a measurable win inside the pandas UDFs."""
+    return re.compile(pattern)
+
+
 def _first_match(text: str, bank: list[str]) -> str | None:
     for pattern in bank:
-        m = re.search(pattern, text)
+        m = _rx(pattern).search(text)
         if m:
             return m.group(1).strip()
     return None
@@ -57,16 +71,16 @@ def extract_product_name(text: str) -> str | None:
 
 
 def _extract_sds(text: str, entities: dict) -> None:
-    codes = re.findall(SDS_HAZARD_CODES, text)
+    codes = _rx(SDS_HAZARD_CODES).findall(text)
     if codes:
         entities["hazard_codes"] = sorted(set(codes))
-    m = re.search(SDS_EMERGENCY, text)
+    m = _rx(SDS_EMERGENCY).search(text)
     if m:
         entities["emergency_contact"] = m.group(1).strip()
-    m = re.search(SDS_MANUFACTURER, text)
+    m = _rx(SDS_MANUFACTURER).search(text)
     if m:
         entities["manufacturer"] = m.group(1).strip()
-    cas = re.findall(CAS_GENERAL, text)
+    cas = _rx(CAS_GENERAL).findall(text)
     if cas:
         entities["cas_numbers"] = sorted(set(cas))
 
@@ -78,7 +92,7 @@ def _extract_tds(text: str, entities: dict) -> None:
         ("flash_point", TDS_FLASH_POINT),
         ("storage_conditions", TDS_STORAGE),
     ):
-        m = re.search(pattern, text)
+        m = _rx(pattern).search(text)
         if m:
             entities[field_name] = m.group(1).strip()
 
@@ -115,7 +129,7 @@ def _extract_coa(text: str, entities: dict, config: ModelConfig) -> None:
             # custom pattern must not kill a 10^12-doc job; skip it like the
             # trained-pattern pass does (ai:1208-1213)
             try:
-                m = re.search(pattern, text)
+                m = _rx(pattern).search(text)
             except re.error:
                 continue
             if m:
@@ -138,7 +152,7 @@ def discover_fields(
         return discovered
 
     for pattern in KEY_VALUE_DISCOVERY_PATTERNS:
-        for m in re.finditer(pattern, text):
+        for m in _rx(pattern).finditer(text):
             key = m.group(1).strip()
             value = m.group(2).strip()
             if not value or len(value) < 2:
@@ -156,13 +170,13 @@ def discover_fields(
         if field_name in discovered or field_name in already_trained:
             continue
         for pattern in bank:
-            m = re.search(pattern, text)
+            m = _rx(pattern).search(text)
             if m:
                 discovered[field_name] = m.group(1).strip()
                 break
 
     if "test_results" not in discovered and "test_results" not in already_trained:
-        if any(re.search(p, text) for p in DISCOVERY_TABLE_HEADERS):
+        if any(_rx(p).search(text) for p in DISCOVERY_TABLE_HEADERS):
             test_results = extract_test_results(text)
             if test_results:
                 discovered["test_results"] = test_results
@@ -205,7 +219,7 @@ def extract_entities_with_patterns(
         return entities
     for field_name, pattern in config.field_patterns.get(doc_type, {}).items():
         try:
-            m = re.search(pattern, text)
+            m = _rx(pattern).search(text)
             if m:
                 entities[field_name] = m.group(1).strip()
         except Exception:

@@ -13,6 +13,7 @@ table boundary exposes them as an ordered list of rows.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from .patterns import (
     KEY_VALUE_TEST_PATTERN,
@@ -24,16 +25,21 @@ from .patterns import (
 TestResult = dict  # {"specification": str, "result": str}
 
 
+@lru_cache(maxsize=64)
+def _rx(pattern: str, flags: int = 0):
+    return re.compile(pattern, flags)
+
+
 def extract_test_results(text: str) -> dict[str, TestResult]:
     results: dict[str, TestResult] = {}
 
-    header = re.search(TABLE_HEADER, text)
+    header = _rx(TABLE_HEADER).search(text)
     if header:
         start = header.start()
         # table end = min over end-marker matches after the header (ai:590-602)
         end = len(text)
         for marker in TABLE_END_MARKERS:
-            m = re.search(marker, text[start:], re.IGNORECASE)
+            m = _rx(marker, re.IGNORECASE).search(text[start:])
             if m and start + m.start() < end:
                 end = start + m.start()
 
@@ -43,7 +49,7 @@ def extract_test_results(text: str) -> dict[str, TestResult]:
                 continue
             if not line.strip():
                 continue
-            parts = [p.strip() for p in re.split(ROW_SPLIT, line.strip()) if p.strip()]
+            parts = [p.strip() for p in _rx(ROW_SPLIT).split(line.strip()) if p.strip()]
             if len(parts) >= 3:
                 results[parts[0]] = {"specification": parts[1], "result": parts[2]}
             elif len(parts) == 2:
@@ -52,7 +58,7 @@ def extract_test_results(text: str) -> dict[str, TestResult]:
     if not results:
         # key-value fallback: "Test Name: [spec -] result|PASS|FAIL|Conforms"
         # (ai:642-658); spec cleared when empty/"-"/== result
-        for m in re.finditer(KEY_VALUE_TEST_PATTERN, text):
+        for m in _rx(KEY_VALUE_TEST_PATTERN).finditer(text):
             name = m.group(1).strip()
             spec = m.group(2).strip()
             result = m.group(3).strip()
