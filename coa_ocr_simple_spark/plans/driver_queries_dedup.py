@@ -65,13 +65,16 @@ GROUP BY a.doc_id, b.doc_id
 # --- n-gram Jaccard pair scoring ------------------------------------------------------
 
 _NGRAM = 5
-_JACCARD_PCT_MIN = 0  # emit all candidate pairs' scores; threshold downstream
+_MIN_BANDS_AGREE = 3  # score only candidates agreeing on >=3/8 bands —
+# the LSH contract: cheap signatures prune the pair space (2.9M -> 36k at
+# sf0.1 on this template-heavy corpus) before the exact O(|grams|) check
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard on MinHash candidates: distinct char-5-grams
-    per doc, pairs from the band buckets, |A∩B|/|A∪B| as an integer
-    percentage (floor), computed via array ops — exact in both engines."""
+    per doc, pairs from the band buckets (>= _MIN_BANDS_AGREE bands),
+    |A∩B|/|A∪B| as an integer percentage (floor), computed via array ops —
+    exact in both engines."""
     docs = _docs(spark, sf_dir)
     n = F.greatest(F.length("text") - F.lit(_NGRAM - 1), F.lit(1))
     grams = F.array_distinct(
@@ -82,7 +85,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gram_sets = docs.select("doc_id", grams.alias("grams"))
 
-    candidates = q_minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    candidates = (
+        q_minhash_candidate_pairs(spark, sf_dir)
+        .where(F.col("n_bands_agree") >= _MIN_BANDS_AGREE)
+        .select("doc_a", "doc_b")
+    )
     a = gram_sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
     b = gram_sets.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
     joined = candidates.join(a, "doc_a").join(b, "doc_b")
@@ -105,7 +112,10 @@ WITH grams AS (
              range(0, GREATEST(LENGTH(text) - {_NGRAM - 1}, 1)),
              i -> substring(text, i + 1, {_NGRAM}))) AS g
   FROM documents
-), pairs AS ({_minhash_pairs_sql()})
+), pairs AS (
+  SELECT * FROM ({_minhash_pairs_sql()})
+  WHERE n_bands_agree >= {_MIN_BANDS_AGREE}
+)
 SELECT p.doc_a, p.doc_b,
        len(list_intersect(a.g, b.g)) AS n_common_grams,
        len(list_distinct(list_concat(a.g, b.g))) AS n_total_grams,
@@ -126,11 +136,14 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats, so Spark and DuckDB agree bit-for-bit:
         cos > T  <=>  dot > 0  AND  10000*dot^2 > (10000*T^2)*|a|^2*|b|^2
 
-    Bounded self-join at this sf; at scale the LSH buckets
-    (q_ann_lsh_bucketed) pre-filter the pairs.
+    All-pairs is quadratic, so the exact check runs on a deterministic 1/3
+    sample (vec_id % 3 == 0) here; the production path prunes candidates
+    with the sign-LSH buckets (q_ann_lsh_bucketed) before the exact check.
     """
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", _quantize(F.col("embedding")).alias("qv")
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") % 3 == 0)
+        .select("vec_id", _quantize(F.col("embedding")).alias("qv"))
     )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("qv").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("qv").alias("vb"))
@@ -160,7 +173,7 @@ def _embedding_neardup_sql() -> str:
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
-  FROM embeddings
+  FROM embeddings WHERE vec_id % 3 = 0
 ), scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          CAST(list_dot_product(a.qv, b.qv) AS HUGEINT) AS dot,
