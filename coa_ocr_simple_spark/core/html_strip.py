@@ -26,7 +26,6 @@ Fully deterministic; no network, no external parser.
 from __future__ import annotations
 
 import re
-from html import unescape
 from html.parser import HTMLParser
 
 DROP_TAGS = frozenset(

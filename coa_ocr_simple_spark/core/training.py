@@ -13,7 +13,6 @@ building is reproducible — never wall-clock inside.
 from __future__ import annotations
 
 import re
-from dataclasses import replace
 
 from .config import ModelConfig
 from .entities import discover_fields

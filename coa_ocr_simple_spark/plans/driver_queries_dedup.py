@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .driver_queries import _MINHASH_BANDS, q_dedup_minhash_bands
+from .driver_queries import q_dedup_minhash_bands
 from .driver_queries_ext import _quantize
 
 
