@@ -251,15 +251,16 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lower_tokens = F.transform(tokens, lambda t: F.lower(t))
     stop_lit = F.array(*[F.lit(s) for s in _STOP_EN])
+    # BIGINT casts: DuckDB len()/list_max return BIGINT; keep widths equal
     return docs.select(
         "doc_id",
-        F.size(tokens).alias("n_tokens"),
-        F.size(F.filter(lower_tokens, lambda t: F.array_contains(stop_lit, t))).alias(
-            "n_stopwords"
-        ),
-        F.array_max(F.transform(tokens, lambda t: F.length(t))).alias(
-            "max_token_len"
-        ),
+        F.size(tokens).cast("long").alias("n_tokens"),
+        F.size(F.filter(lower_tokens, lambda t: F.array_contains(stop_lit, t)))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.array_max(F.transform(tokens, lambda t: F.length(t)))
+        .cast("long")
+        .alias("max_token_len"),
     )
 
 
@@ -342,7 +343,9 @@ def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_MINHASH_BANDS)
         ]
     )
-    return rows.select("doc_id", F.posexplode(sigs).alias("band", "signature"))
+    return rows.select(
+        "doc_id", F.posexplode(sigs).alias("band", "signature")
+    ).withColumn("band", F.col("band").cast("long"))
 
 
 _MINHASH_SQL = f"""

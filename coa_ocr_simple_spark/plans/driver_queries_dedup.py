@@ -98,8 +98,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "doc_a",
         "doc_b",
-        inter.alias("n_common_grams"),
-        union.alias("n_total_grams"),
+        inter.cast("long").alias("n_common_grams"),
+        union.cast("long").alias("n_total_grams"),
         F.floor(inter * 100 / union).cast("long").alias("jaccard_pct"),
     )
 

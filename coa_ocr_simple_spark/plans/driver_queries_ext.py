@@ -58,7 +58,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= _TOPK)
         .select("query_id", "rank", "neighbor_id", "dot_q")
     )
@@ -239,10 +239,10 @@ def q_language_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         lang.alias("lang_guess"),
-        en.alias("sw_en"),
-        de.alias("sw_de"),
-        fr.alias("sw_fr"),
-        n_tokens.alias("n_tokens"),
+        en.cast("long").alias("sw_en"),
+        de.cast("long").alias("sw_de"),
+        fr.cast("long").alias("sw_fr"),
+        n_tokens.cast("long").alias("n_tokens"),
         quality.cast("boolean").alias("is_quality"),
     )
 
