@@ -79,13 +79,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from coa_ocr_simple_spark.plans.driver_queries import QUERIES
     from coa_ocr_simple_spark.plans.driver_queries_dedup import QUERIES_DEDUP
     from coa_ocr_simple_spark.plans.driver_queries_ext import QUERIES_EXT
+    from coa_ocr_simple_spark.plans.driver_queries_rel import QUERIES_REL
 
-    return {**QUERIES, **QUERIES_EXT, **QUERIES_DEDUP}
+    return {**QUERIES, **QUERIES_EXT, **QUERIES_DEDUP, **QUERIES_REL}
 
 
 def oracle_sql() -> dict[str, str]:
     from coa_ocr_simple_spark.plans.driver_queries import ORACLES
     from coa_ocr_simple_spark.plans.driver_queries_dedup import ORACLES_DEDUP
     from coa_ocr_simple_spark.plans.driver_queries_ext import ORACLES_EXT
+    from coa_ocr_simple_spark.plans.driver_queries_rel import ORACLES_REL
 
-    return {**ORACLES, **ORACLES_EXT, **ORACLES_DEDUP}
+    return {**ORACLES, **ORACLES_EXT, **ORACLES_DEDUP, **ORACLES_REL}
