@@ -93,6 +93,8 @@ def run_driver_mode(sf_dir: str, cpus: int) -> dict:
     timings["extract_pipeline"] = round(extract_sec, 3)
 
     for name, fn in entrymod.queries().items():
+        if name in timings:  # the pipeline is timed explicitly above
+            continue
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
