@@ -79,7 +79,13 @@ def decode_spans(
         "kind",
         "media_ref",
         "offset",
-        F.when(F.col("kind") == "html", strip_html_udf(F.col("text")))
+        # the CASE does not short-circuit pandas-UDF evaluation — Spark
+        # computes the UDF projection for the whole batch — so feed the UDF
+        # NULL for non-html rows instead of letting it parse plain text
+        F.when(
+            F.col("kind") == "html",
+            strip_html_udf(F.when(F.col("kind") == "html", F.col("text"))),
+        )
         .when(F.col("kind").isNull(), F.lit(None).cast("string"))
         .otherwise(F.coalesce(F.col("text"), F.lit("")))
         .alias("decoded"),

@@ -150,6 +150,60 @@ SELECT vec_id, {bits} AS bucket FROM q
 """
 
 
+# --- IVF coarse quantizer (the other ANN scale path) ---------------------------------
+
+_IVF_CENTROID_MOD = 97  # vec_id % 97 == 1 -> centroid (deterministic seeds)
+
+
+def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF list assignment: a deterministic seed subset of the vectors
+    serves as coarse centroids; every vector joins its argmax-dot-product
+    list (quantized integer dot, explicit tie-break).  At scale the search
+    then probes only the query's nearest list(s) — a groupBy(centroid_id)
+    instead of a cross join; this query materializes the inverted-list
+    index itself plus per-list sizes for balance monitoring."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qv")
+    )
+    centroids = emb.where(F.col("vec_id") % _IVF_CENTROID_MOD == 1).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv")
+    )
+    pairs = emb.crossJoin(F.broadcast(centroids))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("centroid_id"))
+    assigned = (
+        pairs.select("vec_id", "centroid_id", dot.alias("dot"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", F.col("dot").alias("dot_q"))
+    )
+    return assigned
+
+
+_IVF_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, qv AS cv FROM q
+  WHERE vec_id % {_IVF_CENTROID_MOD} = 1
+), scored AS (
+  SELECT q.vec_id, c.centroid_id,
+         CAST(list_dot_product(q.qv, c.cv) AS BIGINT) AS dot_q,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY CAST(list_dot_product(q.qv, c.cv) AS BIGINT) DESC,
+                                     c.centroid_id ASC) AS rn
+  FROM q CROSS JOIN c
+)
+SELECT vec_id, centroid_id, dot_q FROM scored WHERE rn = 1
+"""
+
+
 # --- SimHash near-dup signature ----------------------------------------------------
 
 _SIMHASH_BITS = 16
@@ -332,6 +386,7 @@ FROM numbered GROUP BY user_id, session_seq
 QUERIES_EXT = {
     "ann_topk": q_ann_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "ann_ivf_assign": q_ann_ivf_assign,
     "dedup_simhash": q_dedup_simhash,
     "language_quality": q_language_quality,
     "sessionize_events": q_sessionize_events,
@@ -340,6 +395,7 @@ QUERIES_EXT = {
 ORACLES_EXT = {
     "ann_topk": _ANN_TOPK_SQL,
     "ann_lsh_bucketed": _lsh_sql(),
+    "ann_ivf_assign": _IVF_SQL,
     "dedup_simhash": _simhash_sql(),
     "language_quality": _language_quality_sql(),
     "sessionize_events": _SESSIONIZE_SQL,
