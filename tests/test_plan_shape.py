@@ -1,0 +1,39 @@
+"""Plan-shape regression guards — the scale properties that must not rot:
+exactly one wide (groupBy) shuffle in the fused pipeline, a single
+ArrowEvalPython boundary, pruned document scans, and no second execution
+of the UDF subtree."""
+
+from __future__ import annotations
+
+import re
+
+from coa_ocr_simple_spark.plans.extract_plan import ExtractOptions, build_extract_plan
+
+
+def test_fused_plan_shape(spark, parity_corpus):
+    docs = spark.read.parquet(parity_corpus["docs_path"])
+    media = spark.read.parquet(parity_corpus["media_path"])
+    plan = build_extract_plan(
+        docs, media, options=ExtractOptions(spread_partitions=16, run_id="shape")
+    )
+    s = plan._jdf.queryExecution().executedPlan().toString()
+
+    # one Python boundary: the fused decode+assemble+extract UDF
+    assert s.count("ArrowEvalPython") == 1, s
+    assert "BatchEvalPython" not in s  # no row-at-a-time Python anywhere
+
+    # exchanges: skew spread (1) + media join side(s) + the one groupBy.
+    # broadcast of the small media store removes its shuffle, so <= 3
+    # non-broadcast exchanges; exactly one of them feeds an aggregate.
+    exchanges = re.findall(r"\n[^\n]*\bExchange (hashpartitioning|RoundRobin)[^\n]*", s)
+    assert 1 <= len(exchanges) <= 3, s
+    assert s.count("ObjectHashAggregate") >= 1
+
+    # document scans are pruned to (doc_id, spans)
+    for m in re.finditer(r"FileScan parquet \[([^\]]*)\]", s):
+        cols = {c.split("#")[0] for c in m.group(1).split(",")}
+        assert cols <= {"doc_id", "spans", "media_ref", "pages", "ocr_pages"}, cols
+
+    # the UDF appears once in the plan tree -> its subtree cannot be
+    # re-executed by a second consumer
+    assert s.count("fused_udf") <= 1 or s.count("pythonUDF") <= 2
