@@ -62,6 +62,13 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
     )
     results = build_extract_plan(docs, media, options=options, done=done)
 
+    if args.output_buckets:
+        # file-count / layout control for the sink: hash-bucket by doc_id so
+        # a resume anti-join and downstream per-doc lookups stay pruned.
+        # (With an Iceberg catalog the table's own bucket(doc_id) partition
+        # spec replaces this explicit repartition.)
+        results = results.repartition(args.output_buckets, "doc_id")
+
     io.append(results, args.output)
 
     written = io.read(args.output).where(f"_run_id = '{args.run_id}'")
@@ -83,6 +90,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--run-id", default="run-0")
     p.add_argument("--resume", action="store_true", help="anti-join completed doc_ids")
     p.add_argument("--spread-partitions", type=int, default=None)
+    p.add_argument("--output-buckets", type=int, default=None)
     p.add_argument("--broadcast-media", action="store_true")
     p.add_argument("--include-full-text", action="store_true")
     p.add_argument("--master", default=None)
