@@ -187,13 +187,79 @@ WHERE dot > 0 AND 10000 * dot * dot > 1600 * na * nb
 """
 
 
+# --- the curation funnel (composition of the training-data ops) -------------------------
+
+_FUNNEL_JACCARD_MIN = 80  # near-dup drop threshold (percent)
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — what the dedup/quality operators exist
+    for: quality gate -> exact dedup (keep min-doc_id representative) ->
+    near-dup removal (drop the larger doc_id of any >=80% Jaccard pair).
+    Emits the per-stage survivor counts as one row, each stage a pure
+    composition of the already-verified operators."""
+    from .driver_queries import q_dedup_exact
+    from .driver_queries_ext import q_language_quality
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    quality = (
+        q_language_quality(spark, sf_dir)
+        .where(F.col("is_quality"))
+        .select("doc_id")
+    )
+    exact_reps = q_dedup_exact(spark, sf_dir).select(
+        F.col("representative_doc_id").alias("doc_id")
+    )
+    neardup_losers = (
+        q_ngram_jaccard_pairs(spark, sf_dir)
+        .where(F.col("jaccard_pct") >= _FUNNEL_JACCARD_MIN)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    surviving_exact = quality.join(exact_reps, "doc_id", "left_semi")
+    final = surviving_exact.join(neardup_losers, "doc_id", "left_anti")
+    return (
+        docs.agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(quality.agg(F.count(F.lit(1)).alias("n_quality")))
+        .crossJoin(surviving_exact.agg(F.count(F.lit(1)).alias("n_after_exact_dedup")))
+        .crossJoin(final.agg(F.count(F.lit(1)).alias("n_curated")))
+    )
+
+
+def _curation_funnel_sql() -> str:
+    from .driver_queries import _DEDUP_EXACT_SQL
+    from .driver_queries_ext import _language_quality_sql
+
+    return f"""
+WITH quality AS (
+  SELECT doc_id FROM ({_language_quality_sql()}) WHERE is_quality
+), reps AS (
+  SELECT representative_doc_id AS doc_id FROM ({_DEDUP_EXACT_SQL})
+), losers AS (
+  SELECT DISTINCT doc_b AS doc_id FROM ({_ngram_jaccard_sql()})
+  WHERE jaccard_pct >= {_FUNNEL_JACCARD_MIN}
+), surviving AS (
+  SELECT q.doc_id FROM quality q WHERE q.doc_id IN (SELECT doc_id FROM reps)
+), final AS (
+  SELECT s.doc_id FROM surviving s
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)
+)
+SELECT (SELECT COUNT(*) FROM documents) AS n_total,
+       (SELECT COUNT(*) FROM quality) AS n_quality,
+       (SELECT COUNT(*) FROM surviving) AS n_after_exact_dedup,
+       (SELECT COUNT(*) FROM final) AS n_curated
+"""
+
+
 QUERIES_DEDUP = {
+    "curation_funnel": q_curation_funnel,
     "minhash_candidate_pairs": q_minhash_candidate_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_neardup": q_embedding_neardup,
 }
 
 ORACLES_DEDUP = {
+    "curation_funnel": _curation_funnel_sql(),
     "minhash_candidate_pairs": _minhash_pairs_sql(),
     "ngram_jaccard_pairs": _ngram_jaccard_sql(),
     "embedding_neardup": _embedding_neardup_sql(),
