@@ -175,3 +175,120 @@ ORACLES_REL = {
     "event_props": _EVENT_PROPS_SQL,
     "order_priority_counts": _ORDER_PRIORITY_SQL,
 }
+
+
+# --- grouping-sets rollup (net-new vs reference; SURVEY §2.7 "absent") -------------------
+
+
+def q_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (o_orderstatus, o_orderpriority): subtotal + grand-total
+    rows with explicit grouping indicators, decimal-exact totals."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("total_price_c"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n_orders",
+            "total_price_c",
+        )
+    )
+
+
+_ORDER_ROLLUP_SQL = """
+SELECT COALESCE(o_orderstatus, '<all>') AS status,
+       COALESCE(o_orderpriority, '<all>') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_price_c
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- set operators (net-new vs reference) --------------------------------------------------
+
+
+def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers ordering in both 1996 and 1997 (INTERSECT) vs those who
+    churned after 1996 (EXCEPT), as one labeled rollup — set-operator
+    coverage (absent in the reference, SURVEY §2.7)."""
+    orders = _read(spark, sf_dir, "orders")
+    y96 = orders.where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    y97 = orders.where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_custkey")
+    # intersect/subtract carry set (DISTINCT) semantics, matching the
+    # DISTINCT CTEs + INTERSECT/EXCEPT in the oracle
+    both = y96.intersect(y97).withColumn("cohort", F.lit("retained"))
+    churned = y96.subtract(y97).withColumn("cohort", F.lit("churned"))
+    return both.unionByName(churned).groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+_REPEAT_CUSTOMERS_SQL = """
+WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1997-01-01'),
+     y97 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+               AND o_orderdate < TIMESTAMP '1998-01-01'),
+     labeled AS (
+       SELECT o_custkey, 'retained' AS cohort FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+       UNION ALL
+       SELECT o_custkey, 'churned' AS cohort FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+     )
+SELECT cohort, COUNT(*) AS n_customers FROM labeled GROUP BY cohort
+"""
+
+
+# --- deterministic sampling -------------------------------------------------------------
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~1/16 deterministic sample of documents via a hash-prefix predicate
+    (md5(doc_id) starts with '0') — reproducible across engines and runs,
+    unlike rand()-based sampling; the standard trick for stable eval sets."""
+    docs = _read(spark, sf_dir, "documents")
+    sampled = docs.where(F.md5(F.col("doc_id").cast("string")).startswith("0"))
+    return sampled.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").cast("long").alias("sampled_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+_HASH_SAMPLE_SQL = """
+SELECT COUNT(*) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) LIKE '0%'
+"""
+
+
+QUERIES_REL.update(
+    {
+        "order_rollup": q_order_rollup,
+        "repeat_customers": q_repeat_customers,
+        "hash_sample": q_hash_sample,
+    }
+)
+
+ORACLES_REL.update(
+    {
+        "order_rollup": _ORDER_ROLLUP_SQL,
+        "repeat_customers": _REPEAT_CUSTOMERS_SQL,
+        "hash_sample": _HASH_SAMPLE_SQL,
+    }
+)
