@@ -36,6 +36,10 @@ class ExtractOptions:
     fused: bool = True  # one Python crossing (decode+assemble+extract in a
     # single UDF after the groupBy) vs the staged decode->group->extract
     # plan; fused halves Arrow traffic and is the default
+    single_span_fastpath: bool = True  # docs whose spans array is exactly
+    # one text span (the dominant web-corpus shape) skip explode + groupBy
+    # entirely — their bytes never shuffle; only multi-span/media docs take
+    # the wide path
 
 
 def build_extract_plan(
@@ -49,6 +53,17 @@ def build_extract_plan(
     options = options or ExtractOptions()
 
     todo = resume_filter(docs, done)
+
+    if options.fused and options.single_span_fastpath:
+        is_simple = (F.size("spans") == 1) & (
+            F.col("spans")[0]["kind"] == "text"
+        )
+        simple = todo.where(is_simple)
+        complex_docs = todo.where(~F.coalesce(is_simple, F.lit(False)))
+        fast = _fastpath_plan(simple, options)
+        wide = _fused_plan(explode_spans(complex_docs), media, options)
+        return fast.unionByName(wide)
+
     spans = explode_spans(todo)
 
     if options.fused:
@@ -82,6 +97,50 @@ def build_extract_plan(
         columns.append(F.col("text").alias("full_text"))
 
     return with_lineage(extracted.select(*columns), options.run_id)
+
+
+def _fastpath_plan(simple_docs: DataFrame, options: ExtractOptions):
+    """Narrow plan for single-text-span documents: no explode, no media
+    join, no groupBy — scan partitions flow straight into the fused UDF.
+    The raw_spans column is built JVM-side in the same shape the UDF
+    expects, so the Python body is byte-identical to the wide path."""
+    from ..functions.udfs import make_fused_extractor_udf
+
+    raw_spans = F.transform(
+        F.col("spans"),
+        lambda s: F.struct(
+            s["offset"].alias("offset"),
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            F.lit(None).cast("array<string>").alias("pages"),
+            F.lit(None).cast("array<string>").alias("ocr_pages"),
+        ),
+    )
+    fused = make_fused_extractor_udf(options.config.to_json())
+    result = simple_docs.select(
+        "doc_id", fused(raw_spans.alias("raw_spans")).alias("r")
+    )
+    return with_lineage(result.select(*_RESULT_COLUMNS(options)), options.run_id)
+
+
+def _RESULT_COLUMNS(options: ExtractOptions):
+    columns = [
+        "doc_id",
+        F.col("r.out_spans").alias("out_spans"),
+        F.col("r.doc_type").alias("doc_type"),
+        F.col("r.confidence").alias("confidence"),
+        F.col("r.entities").alias("entities"),
+        F.col("r.hazard_codes").alias("hazard_codes"),
+        F.col("r.cas_numbers").alias("cas_numbers"),
+        F.col("r.test_results").alias("test_results"),
+        F.col("r.sections").alias("sections"),
+        F.col("r.fingerprint").alias("fingerprint"),
+        F.col("r.n_spans").alias("n_spans"),
+    ]
+    if options.include_full_text:
+        columns.append(F.col("r.full_text").alias("full_text"))
+    return columns
 
 
 def _fused_plan(spans: DataFrame, media: DataFrame | None, options: ExtractOptions):
@@ -130,20 +189,4 @@ def _fused_plan(spans: DataFrame, media: DataFrame | None, options: ExtractOptio
 
     fused = make_fused_extractor_udf(options.config.to_json())
     result = grouped.select("doc_id", fused(F.col("raw_spans")).alias("r"))
-
-    columns = [
-        "doc_id",
-        F.col("r.out_spans").alias("out_spans"),
-        F.col("r.doc_type").alias("doc_type"),
-        F.col("r.confidence").alias("confidence"),
-        F.col("r.entities").alias("entities"),
-        F.col("r.hazard_codes").alias("hazard_codes"),
-        F.col("r.cas_numbers").alias("cas_numbers"),
-        F.col("r.test_results").alias("test_results"),
-        F.col("r.sections").alias("sections"),
-        F.col("r.fingerprint").alias("fingerprint"),
-        F.col("r.n_spans").alias("n_spans"),
-    ]
-    if options.include_full_text:
-        columns.append(F.col("r.full_text").alias("full_text"))
-    return with_lineage(result.select(*columns), options.run_id)
+    return with_lineage(result.select(*_RESULT_COLUMNS(options)), options.run_id)

