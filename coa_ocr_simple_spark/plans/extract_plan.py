@@ -55,8 +55,10 @@ def build_extract_plan(
     todo = resume_filter(docs, done)
 
     if options.fused and options.single_span_fastpath:
+        # text AND html qualify: neither needs the media join, and the
+        # fused UDF does the HTML strip itself
         is_simple = (F.size("spans") == 1) & (
-            F.col("spans")[0]["kind"] == "text"
+            F.col("spans")[0]["kind"].isin("text", "html")
         )
         simple = todo.where(is_simple)
         complex_docs = todo.where(~F.coalesce(is_simple, F.lit(False)))
