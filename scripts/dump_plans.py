@@ -55,9 +55,12 @@ def main() -> None:
         build_extract_plan(
             spans_df, media_df, options=ExtractOptions(spread_partitions=32, run_id="x")
         ),
-        "One wide shuffle (groupBy doc_id) + the thin-row skew-spread exchange "
-        "and the media join; text spans never shuffle before the groupBy; "
-        "decode+assemble+extract is a single ArrowEvalPython node.",
+        "Union of two branches: single-text/html-span docs take the narrow "
+        "fast path (Scan -> Filter -> ArrowEvalPython, ZERO exchanges — most "
+        "of a web corpus never shuffles); multi-span/media docs take one "
+        "wide shuffle (groupBy doc_id) after the skew-spread exchange and "
+        "the media join. decode+assemble+extract is a single "
+        "ArrowEvalPython node per branch.",
     )
     cap(
         "lineitem_pricing (decimal-exact rollup)",
