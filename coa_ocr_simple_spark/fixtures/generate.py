@@ -251,6 +251,9 @@ def build_parity_corpus() -> SpanBuilder:
     for name, body in EDGE_CASES:
         b.add(f"doc-{i:08d}-{name}", [("text", body, {})])
         i += 1
+    # zero-span document: survives the pipeline with empty out_spans
+    b.add(f"doc-{i:08d}-edge_zero_spans", [])
+    i += 1
     return b
 
 
