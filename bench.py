@@ -84,12 +84,17 @@ def run_driver_mode(sf_dir: str, cpus: int) -> dict:
     spark = make_session(cpus)
     timings: dict[str, float] = {}
 
-    # headline 1: the extraction pipeline itself (docs/sec)
+    # headline 1: the extraction pipeline itself (docs/sec); two warmups
+    # then best-of-2 — the first runs of a fresh JVM pay worker spin-up
     plan, n_docs = extraction_pipeline_df(spark, sf_dir)
-    force(plan)  # warm-up (JVM+Arrow+python workers)
-    t0 = time.perf_counter()
     force(plan)
-    extract_sec = time.perf_counter() - t0
+    force(plan)
+    samples = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(plan)
+        samples.append(time.perf_counter() - t0)
+    extract_sec = min(samples)
     timings["extract_pipeline"] = round(extract_sec, 3)
 
     for name, fn in entrymod.queries().items():
