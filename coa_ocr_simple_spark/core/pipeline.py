@@ -90,6 +90,9 @@ def extract_document(
     config: ModelConfig = EMPTY_CONFIG,
 ) -> dict:
     """Single-node oracle for one document (sequential reference run)."""
+    # defensive: drop null span entries (the input contract forbids them,
+    # but the distributed path skips them, so the oracle must too)
+    spans = [s for s in spans if s is not None and s.get("kind") is not None]
     ordered = sorted(spans, key=lambda s: s["offset"])
     out_spans = []
     for rank, span in enumerate(ordered):
