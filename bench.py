@@ -34,7 +34,11 @@ sys.path.insert(0, REPO)
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("COA_BENCH_DOCS", "20000"))
+# scaling-corpus size: must be large enough that per-run fixed overhead
+# (stage scheduling, sink commit) is negligible against compute — 100k docs
+# ≈ 60-170 s walls at the small level. 20k-doc runs are overhead-dominated
+# and understate efficiency.
+BENCH_DOCS = int(os.environ.get("COA_BENCH_DOCS", "100000"))
 CORPUS_CACHE = "/tmp/coa_bench_corpus"
 
 
