@@ -104,6 +104,9 @@ def run_driver_mode(sf_dir: str, cpus: int) -> dict:
     for name, fn in entrymod.queries().items():
         if name in timings:  # the pipeline is timed explicitly above
             continue
+        # some queries persist() shared subtrees internally; drop those
+        # blocks between queries so each is measured in isolation
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -47,12 +47,44 @@ from ..core.patterns import (
 )
 
 
+def _spread(df: DataFrame, path: str) -> DataFrame:
+    """Small-file guard: a tiny parquet lands in one input split, which
+    serializes every CPU-heavy per-row expression in the scan stage onto
+    one core (measured: 4.75 s -> sub-second for the md5-shingle MinHash
+    at sf0.1).  Repartition up to the session parallelism ONLY when the
+    whole input is smaller than one split — at real scale the input has
+    far more splits than cores, so this is a no-op and adds no shuffle
+    to the 100-TB plan.  The size probe is a driver-side os.stat (a
+    ``df.rdd.getNumPartitions()`` probe costs ~0.25 s of plan->RDD
+    translation per query); a non-local path (hdfs/s3) stats as absent
+    and is treated as large, which is the right default there."""
+    import os
+
+    try:
+        if os.path.isdir(path):
+            total = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith((".", "_"))
+            )
+        else:
+            total = os.path.getsize(path)
+    except OSError:
+        return df
+    one_split = 64 * 1024 * 1024  # half the default maxPartitionBytes
+    if total < one_split:
+        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = f"{sf_dir}/documents.parquet"
+    return _spread(spark.read.parquet(path), path)
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    path = f"{sf_dir}/{table}.parquet"
+    return _spread(spark.read.parquet(path), path)
 
 
 # --- classification (SURVEY §2.3 C1) --------------------------------------------
@@ -189,9 +221,17 @@ FROM documents
 
 
 def q_doc_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification rollup.  ``n_chars`` rides along in the same scan/
+    select as the classify UDF — no self-join back to documents, so the
+    only exchange is the groupBy itself."""
+    docs = _docs(spark, sf_dir)
+    c = _classify_udf(F.col("text"))
     return (
-        q_classify(spark, sf_dir)
-        .join(_docs(spark, sf_dir).select("doc_id", "n_chars"), "doc_id")
+        docs.select(
+            "n_chars",
+            c["doc_type"].alias("doc_type"),
+            c["confidence_pct"].alias("confidence_pct"),
+        )
         .groupBy("doc_type")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -244,21 +284,30 @@ _STOP_EN = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"]
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count + English stopword hits + longest token —
-    building blocks of quality scoring, all JVM-side (no UDF)."""
+    building blocks of quality scoring, all JVM-side (no UDF).
+
+    Tokenize in a separate projection: the split runs once per row and
+    the three stats read the materialized array (CollapseProject will
+    not re-inline a non-cheap expression referenced three times)."""
     docs = _docs(spark, sf_dir)
     tokens = F.when(F.length(F.trim(F.col("text"))) == 0, F.array()).otherwise(
         F.split(F.trim(F.col("text")), r"\s+")
     )
-    lower_tokens = F.transform(tokens, lambda t: F.lower(t))
+    toks_df = docs.select("doc_id", tokens.alias("toks"))
     stop_lit = F.array(*[F.lit(s) for s in _STOP_EN])
     # BIGINT casts: DuckDB len()/list_max return BIGINT; keep widths equal
-    return docs.select(
+    return toks_df.select(
         "doc_id",
-        F.size(tokens).cast("long").alias("n_tokens"),
-        F.size(F.filter(lower_tokens, lambda t: F.array_contains(stop_lit, t)))
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(
+                F.transform("toks", lambda t: F.lower(t)),
+                lambda t: F.array_contains(stop_lit, t),
+            )
+        )
         .cast("long")
         .alias("n_stopwords"),
-        F.array_max(F.transform(tokens, lambda t: F.length(t)))
+        F.array_max(F.transform("toks", lambda t: F.length(t)))
         .cast("long")
         .alias("max_token_len"),
     )

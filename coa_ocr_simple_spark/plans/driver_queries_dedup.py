@@ -6,58 +6,116 @@ other modules): n-gram Jaccard pair scoring, MinHash-LSH candidate pairs
 near-duplicates via quantized integer math.
 
 Pair-generation strategy at 100 TB: never all-pairs — candidates come
-from an equi-join on a bucket key (band signature / simhash / LSH bucket),
-which LSH keeps small per bucket; the expensive exact score runs only on
-candidates.  At the driver's sf the candidate sets are small enough to
-verify against DuckDB exactly.
+from an equi-grouping on a bucket key (band signature / LSH band), which
+LSH keeps small per bucket; the expensive exact score runs only on
+candidates.  Two scale hazards are handled explicitly:
+
+1. **No recompute.**  Spark has no cross-branch common-subexpression
+   elimination, so a self-join of the bands DataFrame would evaluate the
+   O(len(text)) md5-per-shingle transform twice.  Pairs are instead
+   generated from ONE aggregation: groupBy(bucket) -> sorted doc list ->
+   in-bucket (a < b) pair explosion.  The bands subtree appears exactly
+   once in the plan (asserted by tests/test_plan_shape.py).  Where a
+   branch genuinely must feed two consumers (gram sets joined on both
+   pair sides; the funnel's survivor sets), it is ``.persist()``-ed.
+
+2. **Hot-bucket guard.**  Template-heavy corpora produce mega-buckets
+   (measured: one (band, signature) bucket holds 25% of the sf0.1 corpus
+   = 763k pairs from a single bucket).  Buckets larger than
+   ``_MAX_BUCKET`` are dropped BEFORE pair explosion — bounded work per
+   bucket (<= _MAX_BUCKET^2/2 pairs), no straggler task.  The cap is part
+   of the query's definition and is mirrored exactly in the DuckDB
+   oracle, so correctness checking still hash-matches.  Semantically a
+   mega-bucket is boilerplate collision: a single band agreement there is
+   noise, and genuinely similar pairs still surface through their other
+   bands (we require >= _MIN_BANDS_AGREE anyway).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .driver_queries import q_dedup_minhash_bands
-from .driver_queries_ext import _quantize
+from .driver_queries_ext import _HEX, _probe_dim, _quantize
+
+_MAX_BUCKET = 256  # hot-bucket guard: max docs per LSH bucket before drop
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .driver_queries import _spread
+
+    path = f"{sf_dir}/documents.parquet"
+    return _spread(spark.read.parquet(path), path)
+
+
+def _pairs_within_buckets(
+    df: DataFrame, keys: list[str], id_col: str, a: str, b: str
+) -> DataFrame:
+    """Unordered (a < b) pairs of ids sharing a bucket, built from ONE
+    aggregation over ``df`` (no self-join, so the upstream subtree is
+    never evaluated twice).  Buckets above _MAX_BUCKET are dropped (see
+    module docstring); per-bucket pair fan-out is therefore bounded by
+    _MAX_BUCKET^2/2, so no single task can become a quadratic straggler.
+    """
+    buckets = (
+        df.groupBy(*keys)
+        .agg(
+            F.sort_array(F.collect_list(id_col)).alias("_ids"),
+            F.count(F.lit(1)).alias("_bsz"),
+        )
+        .where((F.col("_bsz") >= 2) & (F.col("_bsz") <= _MAX_BUCKET))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "_ids",
+                lambda x, i: F.transform(
+                    F.slice(
+                        "_ids", i + 2, F.greatest(F.size("_ids") - i - 1, F.lit(0))
+                    ),
+                    lambda y: F.struct(x.alias(a), y.alias(b)),
+                ),
+            )
+        )
+    )
+    return buckets.select(pair.alias("_p")).select(f"_p.{a}", f"_p.{b}")
 
 
 # --- MinHash-LSH candidate pairs ---------------------------------------------------
 
 
 def q_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket-join the band signatures into unordered candidate pairs with
-    the number of agreeing bands (more bands = higher estimated Jaccard)."""
+    """Turn the band buckets into unordered candidate pairs with the
+    number of agreeing bands (more bands = higher estimated Jaccard).
+
+    One documents scan, one groupBy(band, signature), one groupBy(pair):
+    the md5-shingle transform runs exactly once per doc."""
     bands = q_dedup_minhash_bands(spark, sf_dir)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.signature") == F.col("b.signature"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_bands_agree"))
+    pairs = _pairs_within_buckets(
+        bands, ["band", "signature"], "doc_id", "doc_a", "doc_b"
     )
-    return pairs
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_bands_agree")
+    )
 
 
 def _minhash_pairs_sql() -> str:
     from .driver_queries import _MINHASH_SQL
 
     return f"""
-WITH bands AS ({_MINHASH_SQL})
+WITH bands AS ({_MINHASH_SQL}),
+sized AS (
+  SELECT doc_id, band, signature,
+         COUNT(*) OVER (PARTITION BY band, signature) AS bsz
+  FROM bands
+)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        COUNT(*) AS n_bands_agree
-FROM bands a JOIN bands b
+FROM sized a JOIN sized b
   ON a.band = b.band AND a.signature = b.signature AND a.doc_id < b.doc_id
+WHERE a.bsz <= {_MAX_BUCKET}
 GROUP BY a.doc_id, b.doc_id
 """
 
@@ -70,11 +128,7 @@ _MIN_BANDS_AGREE = 3  # score only candidates agreeing on >=3/8 bands —
 # sf0.1 on this template-heavy corpus) before the exact O(|grams|) check
 
 
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard on MinHash candidates: distinct char-5-grams
-    per doc, pairs from the band buckets (>= _MIN_BANDS_AGREE bands),
-    |A∩B|/|A∪B| as an integer percentage (floor), computed via array ops —
-    exact in both engines."""
+def _gram_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     n = F.greatest(F.length("text") - F.lit(_NGRAM - 1), F.lit(1))
     grams = F.array_distinct(
@@ -83,7 +137,19 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.col("text").substr(i + 1, F.lit(_NGRAM)),
         )
     )
-    gram_sets = docs.select("doc_id", grams.alias("grams"))
+    return docs.select("doc_id", grams.alias("grams"))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on MinHash candidates: distinct char-5-grams
+    per doc, pairs from the band buckets (>= _MIN_BANDS_AGREE bands),
+    |A∩B|/|A∪B| as an integer percentage (floor), computed via array ops —
+    exact in both engines.
+
+    The gram-set DataFrame feeds BOTH sides of the pair join; Spark has
+    no cross-branch CSE, so it is persisted to stop the O(len) gram
+    transform running twice."""
+    gram_sets = _gram_sets(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
 
     candidates = (
         q_minhash_candidate_pairs(spark, sf_dir)
@@ -129,57 +195,155 @@ JOIN grams b ON p.doc_b = b.doc_id
 
 # --- embedding-cosine near-duplicates --------------------------------------------------
 
+_NEARDUP_BANDS = 4
+_NEARDUP_BAND_BITS = 6  # 4 bands x 6 sign-LSH planes = 24 planes total
+
+
+def _all_projections(dim: int) -> Column:
+    """All 24 hyperplane projections of ``qv`` as one array column, from a
+    single nested 2-D literal (24 x dim) — same md5-seeded integer plane
+    family as q_ann_lsh_bucketed, but the whole bank is ONE Literal node,
+    so Catalyst analysis + codegen stay cheap (a CreateArray-per-plane
+    tree measured ~3 s of fresh-plan overhead; this form ~1.2 s)."""
+    from .driver_queries_ext import _plane_component_py
+
+    planes = [
+        [_plane_component_py(p, i) for i in range(dim)]
+        for p in range(_NEARDUP_BANDS * _NEARDUP_BAND_BITS)
+    ]
+    lit2d = F.lit(planes).cast("array<array<long>>")
+    return F.transform(
+        lit2d,
+        lambda pl: F.aggregate(
+            F.zip_with(F.col("qv"), pl, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _band_signature(band: int) -> Column:
+    """6-bit sign-LSH signature for one band, read off the precomputed
+    ``projs`` column: bit k is the sign of projection band*6+k."""
+    bits = [
+        F.when(
+            F.element_at("projs", band * _NEARDUP_BAND_BITS + k + 1) >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for k in range(_NEARDUP_BAND_BITS)
+    ]
+    return F.concat(*bits)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: all vector pairs with quantized cosine above a threshold (0.4 here — the synthetic embeddings are near-orthogonal random vectors; a production near-dup run would use ~0.95).
+    """Embedding near-dup via banded sign-LSH + exact quantized-cosine
+    check — the production scale shape (never all-pairs):
+
+    1. every vector gets _NEARDUP_BANDS band signatures (6 hyperplane
+       signs each); vectors sharing any (band, signature) bucket are
+       candidates (one groupBy, in-bucket pair explosion, hot-bucket
+       capped);
+    2. only candidates get the exact integer-cosine test.
+
+    Banding controls recall: for a pair at angle θ the per-plane
+    agreement is 1-θ/π, per-band (1-θ/π)^6, any-of-4-bands
+    1-(1-(1-θ/π)^6)^4 — ~95% at cosine 0.9, by design lower at the
+    sandbox threshold 0.4 (the synthetic vectors are near-orthogonal
+    noise).  The candidate rule IS part of the query definition and is
+    mirrored exactly in the DuckDB oracle.
 
     Threshold as a pure integer cross-multiplication — no division, no
     floats, so Spark and DuckDB agree bit-for-bit:
         cos > T  <=>  dot > 0  AND  10000*dot^2 > (10000*T^2)*|a|^2*|b|^2
-
-    All-pairs is quadratic, so the exact check runs on a deterministic 1/3
-    sample (vec_id % 3 == 0) here; the production path prunes candidates
-    with the sign-LSH buckets (q_ann_lsh_bucketed) before the exact check.
     """
-    emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .where(F.col("vec_id") % 3 == 0)
-        .select("vec_id", _quantize(F.col("embedding")).alias("qv"))
-    )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("qv").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("qv").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-
-    def dec_sum(arr_col):
+    def long_dot(x, y):
+        # quantized components are ~1e3, dim 64 -> |dot| <= ~6.4e7: long is
+        # exact; decimal only enters at the final threshold compare below
         return F.aggregate(
-            arr_col,
-            F.lit(0).cast("decimal(38,0)"),
-            lambda acc, x: acc + x.cast("decimal(38,0)"),
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
         )
 
-    dot = dec_sum(F.zip_with("va", "vb", lambda x, y: x * y))
-    na = dec_sum(F.transform("va", lambda x: x * x))
-    nb = dec_sum(F.transform("vb", lambda x: x * x))
+    from .driver_queries import _spread
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    emb = (
+        _spread(spark.read.parquet(emb_path), emb_path)
+        .select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+        .withColumn("nrm", long_dot("qv", "qv"))  # norm once per VECTOR, not per pair
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds bucketing + both join sides
+    )
+    dim = _probe_dim(spark, sf_dir)
+    sigs = F.array(*[_band_signature(bnd) for bnd in range(_NEARDUP_BANDS)])
+    banded = (
+        emb.withColumn("projs", _all_projections(dim))
+        .select("vec_id", F.posexplode(sigs).alias("band", "sig"))
+        .withColumn("band", F.col("band").cast("long"))
+    )
+    candidates = _pairs_within_buckets(
+        banded, ["band", "sig"], "vec_id", "id_a", "id_b"
+    ).distinct()
+
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("qv").alias("va"), F.col("nrm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("qv").alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = candidates.join(a, "id_a").join(b, "id_b")
+
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
     scored = pairs.select(
-        "id_a", "id_b", dot.alias("dot"), na.alias("na"), nb.alias("nb")
+        "id_a", "id_b", long_dot("va", "vb").alias("dot"), "na", "nb"
     )
     return scored.where(
         (F.col("dot") > 0)
-        & (F.col("dot") * F.col("dot") * 10000 > F.col("na") * F.col("nb") * 1600)
-    ).select("id_a", "id_b", F.col("dot").cast("long").alias("dot_q"))
+        & (dec("dot") * dec("dot") * 10000 > dec("na") * dec("nb") * 1600)
+    ).select("id_a", "id_b", F.col("dot").alias("dot_q"))
+
+
+def _neardup_band_sql_bits() -> str:
+    """The 6 sign bits for one band, with `band` a column in scope."""
+    bits = []
+    for k in range(_NEARDUP_BAND_BITS):
+        plane = f"CAST(band * {_NEARDUP_BAND_BITS} + {k} AS VARCHAR)"
+        comp = (
+            f"CAST((instr('{_HEX}', substring(md5('p' || {plane} || '|' || "
+            "CAST(i AS VARCHAR)), 1, 1)) - 1) * 2 - 15 AS BIGINT)"
+        )
+        bits.append(
+            "CASE WHEN CAST(list_dot_product(qv, "
+            f"list_transform(range(0, len(qv)), i -> {comp})"
+            ") AS BIGINT) >= 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
 
 
 def _embedding_neardup_sql() -> str:
-    return """
+    return f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
-  FROM embeddings WHERE vec_id % 3 = 0
+  FROM embeddings
+), banded AS (
+  SELECT vec_id, band, {_neardup_band_sql_bits()} AS sig
+  FROM q, range(0, {_NEARDUP_BANDS}) AS r(band)
+), sized AS (
+  SELECT vec_id, band, sig,
+         COUNT(*) OVER (PARTITION BY band, sig) AS bsz
+  FROM banded
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sized a JOIN sized b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+  WHERE a.bsz <= {_MAX_BUCKET}
 ), scored AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  SELECT c.id_a, c.id_b,
          CAST(list_dot_product(a.qv, b.qv) AS HUGEINT) AS dot,
          CAST(list_dot_product(a.qv, a.qv) AS HUGEINT) AS na,
          CAST(list_dot_product(b.qv, b.qv) AS HUGEINT) AS nb
-  FROM q a JOIN q b ON a.vec_id < b.vec_id
+  FROM cand c JOIN q a ON c.id_a = a.vec_id JOIN q b ON c.id_b = b.vec_id
 )
 SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot_q
 FROM scored
@@ -197,7 +361,11 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for: quality gate -> exact dedup (keep min-doc_id representative) ->
     near-dup removal (drop the larger doc_id of any >=80% Jaccard pair).
     Emits the per-stage survivor counts as one row, each stage a pure
-    composition of the already-verified operators."""
+    composition of the already-verified operators.
+
+    The quality and post-exact-dedup survivor sets each feed two
+    consumers (their own stage count + the next stage); both are
+    persisted (doc_id-only, tiny) so no upstream stage re-executes."""
     from .driver_queries import q_dedup_exact
     from .driver_queries_ext import q_language_quality
 
@@ -206,6 +374,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_language_quality(spark, sf_dir)
         .where(F.col("is_quality"))
         .select("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     exact_reps = q_dedup_exact(spark, sf_dir).select(
         F.col("representative_doc_id").alias("doc_id")
@@ -216,7 +385,9 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    surviving_exact = quality.join(exact_reps, "doc_id", "left_semi")
+    surviving_exact = quality.join(exact_reps, "doc_id", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     final = surviving_exact.join(neardup_losers, "doc_id", "left_anti")
     return (
         docs.agg(F.count(F.lit(1)).alias("n_total"))

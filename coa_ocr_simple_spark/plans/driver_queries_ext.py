@@ -21,7 +21,10 @@ _HEX = "0123456789abcdef"
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    from .driver_queries import _spread
+
+    path = f"{sf_dir}/{table}.parquet"
+    return _spread(spark.read.parquet(path), path)
 
 
 # --- approximate similarity search (brute-force baseline) -----------------------
@@ -105,6 +108,40 @@ def _plane_component(plane: int, dim_index):
     return _hex_val(F.substring(digest, 1, 1)) * 2 - 15
 
 
+def _plane_component_py(plane: int, i: int) -> int:
+    """Driver-side twin of _plane_component — same md5-of-utf8 spec, so
+    the values are bit-identical to what the SQL expression (and the
+    DuckDB oracle) computes."""
+    import hashlib
+
+    digest = hashlib.md5(f"p{plane}|{i}".encode()).hexdigest()
+    return _HEX.index(digest[0]) * 2 - 15
+
+
+def _plane_literal(plane: int, dim: int):
+    """The whole hyperplane as a SINGLE literal array column.  The
+    components are row-independent constants; computing them driver-side
+    removes the per-row md5 (rows x planes x dim digest calls) from the
+    executed plan, and emitting one array Literal (not CreateArray of dim
+    literals) keeps the expression tree small — large trees cost seconds
+    of Catalyst/codegen time per fresh plan (measured 3 s -> 1.2 s for
+    the 24-plane banding)."""
+    return F.lit([_plane_component_py(plane, i) for i in range(dim)]).cast(
+        "array<long>"
+    )
+
+
+def _probe_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding dimensionality, probed from one row at plan-construction
+    time (the synthetic embeddings table is fixed-dim by contract)."""
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.size("embedding").alias("d"))
+        .first()
+    )
+    return int(row["d"])
+
+
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucket assignment: vectors agreeing on all _LSH_PLANES
     hyperplane signs share a bucket; at scale, candidate generation
@@ -112,17 +149,11 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", _quantize(F.col("embedding")).alias("qv")
     )
+    dim = _probe_dim(spark, sf_dir)
     bits = []
     for p in range(_LSH_PLANES):
         proj = F.aggregate(
-            F.zip_with(
-                "qv",
-                F.transform(
-                    F.sequence(F.lit(0), F.size("qv") - 1),
-                    lambda i: _plane_component(p, i).cast("long"),
-                ),
-                lambda a, b: a * b,
-            ),
+            F.zip_with("qv", _plane_literal(p, dim), lambda a, b: a * b),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
@@ -217,18 +248,23 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = F.when(F.length(F.trim(F.col("text"))) == 0, F.array()).otherwise(
         F.split(F.trim(F.col("text")), r"\s+")
     )
-    hashes = F.transform(tokens, lambda t: F.md5(t))
+    # materialize the md5-per-token array in its own projection — the 16
+    # bit-vote aggregates below each reference it, and CollapseProject
+    # must not re-inline the digest computation 16x per row
+    hashed = docs.select(
+        "doc_id", F.transform(tokens, lambda t: F.md5(t)).alias("hs")
+    )
     bits = []
     for i in range(_SIMHASH_BITS):
         votes = F.aggregate(
-            hashes,
+            F.col("hs"),
             F.lit(0).cast("long"),
             lambda acc, h: acc
             + (_hex_val(F.substring(h, i + 1, 1)) % 2) * 2
             - 1,
         )
         bits.append(F.when(votes > 0, F.lit("1")).otherwise(F.lit("0")))
-    return docs.select("doc_id", F.concat(*bits).alias("simhash"))
+    return hashed.select("doc_id", F.concat(*bits).alias("simhash"))
 
 
 def _simhash_sql() -> str:

@@ -43,6 +43,32 @@ def test_single_span_fastpath_never_shuffles(spark, tmp_path):
     assert all(r["n_spans"] == 1 for r in rows)
 
 
+def test_dedup_pair_plans_never_cartesian_and_scan_once(spark):
+    """The pair-generation queries must be bucket-grouped, not all-pairs:
+    no cartesian / nested-loop join node anywhere, and the expensive
+    upstream transform (md5 shingles / quantized vectors) must appear in
+    the plan exactly once (no self-join double evaluation)."""
+    from coa_ocr_simple_spark.plans.driver_queries_dedup import (
+        q_embedding_neardup,
+        q_minhash_candidate_pairs,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    pairs = q_minhash_candidate_pairs(spark, sf_dir)
+    s = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s, s
+    assert s.count("documents.parquet") == 1, s  # bands computed once
+
+    near = q_embedding_neardup(spark, sf_dir)
+    s2 = near._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in s2 and "BroadcastNestedLoopJoin" not in s2, s2
+    # quantized-embedding subtree is persisted: the three consumers must
+    # all read the InMemoryRelation, not re-scan the parquet
+    assert s2.count("InMemoryTableScan") >= 3, s2
+    spark.catalog.clearCache()
+
+
 def test_fused_plan_shape(spark, parity_corpus):
     docs = spark.read.parquet(parity_corpus["docs_path"])
     media = spark.read.parquet(parity_corpus["media_path"])

@@ -98,6 +98,44 @@ def test_resume_is_idempotent_and_complete(spark, tmp_path):
     assert metrics.where("n_docs <= 0").count() == 0
 
 
+def test_lsh_hot_bucket_guard_caps_mega_buckets(spark, tmp_path):
+    """A template-boilerplate corpus puts thousands of docs into one
+    (band, signature) bucket; without a bound, pair explosion there is
+    quadratic (2k identical docs = 2M pairs per band).  The guard drops
+    buckets above _MAX_BUCKET before pair generation: the mega-bucket
+    contributes nothing, while normal small buckets still pair up."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coa_ocr_simple_spark.plans.driver_queries_dedup import (
+        _MAX_BUCKET,
+        q_minhash_candidate_pairs,
+    )
+
+    mega_text = "identical boilerplate template text " * 20
+    rows = [
+        {"doc_id": f"mega-{i:05d}", "text": mega_text} for i in range(2_000)
+    ]
+    for g in range(2):  # two small groups of 5 identical docs each
+        for i in range(5):
+            rows.append(
+                {"doc_id": f"grp{g}-{i}", "text": f"small group {g} payload " * 10}
+            )
+    pq.write_table(
+        pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet")
+    )
+
+    pairs = q_minhash_candidate_pairs(spark, str(tmp_path)).collect()
+    assert 2_000 > _MAX_BUCKET  # the mega group must exceed the cap
+    assert not any(r["doc_a"].startswith("mega") for r in pairs)
+    # each 5-doc group yields C(5,2)=10 identical-text pairs agreeing on
+    # all 8 bands (the two groups also share some shingles, so weaker
+    # cross-group pairs are expected and fine)
+    full = [r for r in pairs if r["n_bands_agree"] == 8]
+    assert len(full) == 20
+    assert all(r["doc_a"][:4] == r["doc_b"][:4] for r in full)
+
+
 def test_skew_spread_bounds_partition_load(spark, tmp_path):
     corpus = build_skew_corpus(n_thin=2_000, fat_spans=200)
     docs_path = str(tmp_path / "docs.parquet")
