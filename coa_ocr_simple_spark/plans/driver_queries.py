@@ -125,7 +125,7 @@ def _sql_bank_hits(bank: list[str]) -> str:
     return f"({terms})"
 
 
-def _classify_oracle_sql() -> str:
+def _classify_oracle_sql(src: str = "documents") -> str:
     sds = _sql_bank_hits(SDS_CLASS_PATTERNS)
     tds = _sql_bank_hits(TDS_CLASS_PATTERNS)
     coa = _sql_bank_hits(COA_CLASS_PATTERNS)
@@ -133,7 +133,7 @@ def _classify_oracle_sql() -> str:
 WITH hits AS (
   SELECT doc_id,
          {sds} AS s, {tds} AS t, {coa} AS c
-  FROM documents
+  FROM {src}
 )
 SELECT doc_id,
   CASE WHEN s + t + c = 0 THEN 'unknown'
