@@ -71,7 +71,14 @@ def main(argv=None) -> int:
         "info", "export", "import", "reset", "add-rule", "train", "auto-train",
         "history",
     ])
-    p.add_argument("--config", required=True)
+    p.add_argument("--config", default=None)
+    p.add_argument(
+        "--tenant",
+        default=None,
+        help="resolve --config as {config-dir}/{tenant}_model_config.json "
+        "(reference get_tenant_processor naming, app.py:261-301)",
+    )
+    p.add_argument("--config-dir", default=".")
     p.add_argument("--out")
     p.add_argument("--from", dest="from_path")
     p.add_argument("--doc-type")
@@ -82,6 +89,13 @@ def main(argv=None) -> int:
     p.add_argument("--last", type=int, default=3)
     p.add_argument("--now", help="override timestamp (reproducible builds)")
     args = p.parse_args(argv)
+
+    if args.tenant:
+        from .extract import tenant_config_path
+
+        args.config = tenant_config_path(args.config_dir, args.tenant)
+    if not args.config:
+        p.error("--config or --tenant is required")
 
     now = args.now or datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
     config = _load(args.config)

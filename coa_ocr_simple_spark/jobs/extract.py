@@ -21,10 +21,32 @@ import argparse
 
 from pyspark.sql import SparkSession
 
+import os
+
 from ..core.config import EMPTY_CONFIG, ModelConfig
 from ..operators.checkpoint import partition_metrics
-from ..plans.extract_plan import ExtractOptions, build_extract_plan
+from ..plans.extract_plan import (
+    ExtractOptions,
+    build_extract_plan,
+    build_multi_tenant_plan,
+)
 from ..sources.tables import TableIO
+
+
+def tenant_config_path(config_dir: str, tenant: str) -> str:
+    """Reference naming convention: {tenant_id}_model_state.pkl
+    (app.py:261-301) -> the frozen-JSON equivalent."""
+    return os.path.join(config_dir, f"{tenant}_model_config.json")
+
+
+def load_tenant_configs(config_dir: str, tenants: list[str]) -> dict[str, ModelConfig]:
+    """Missing file -> EMPTY_CONFIG, mirroring the reference's fresh
+    default processor for an unseen tenant."""
+    out = {}
+    for tenant in tenants:
+        path = tenant_config_path(config_dir, tenant)
+        out[tenant] = ModelConfig.load(path) if os.path.exists(path) else EMPTY_CONFIG
+    return out
 
 
 def make_session(app: str, master: str | None, shuffle_partitions: int | None):
@@ -53,6 +75,18 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
 
     done = io.read_if_exists(args.output) if args.resume else None
 
+    tenants = [t.strip() for t in (args.tenants or "").split(",") if t.strip()]
+    if len(tenants) > 1 and args.tenant_column not in docs.columns:
+        raise SystemExit(
+            f"--tenants given but input has no '{args.tenant_column}' column "
+            "(use --tenant-column, or a single tenant to apply one config "
+            "to the whole input)"
+        )
+    if len(tenants) == 1 and args.tenant_column not in docs.columns:
+        # single-tenant invocation (the reference's one-request-one-tenant
+        # shape): that tenant's config applies to the whole input
+        config = load_tenant_configs(args.config_dir or ".", tenants)[tenants[0]]
+
     options = ExtractOptions(
         config=config,
         spread_partitions=args.spread_partitions,
@@ -60,7 +94,17 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         include_full_text=args.include_full_text,
         run_id=args.run_id,
     )
-    results = build_extract_plan(docs, media, options=options, done=done)
+    if tenants and args.tenant_column in docs.columns:
+        results = build_multi_tenant_plan(
+            docs,
+            media,
+            tenant_configs=load_tenant_configs(args.config_dir or ".", tenants),
+            options=options,
+            done=done,
+            tenant_column=args.tenant_column,
+        )
+    else:
+        results = build_extract_plan(docs, media, options=options, done=done)
 
     if args.output_buckets:
         # file-count / layout control for the sink: hash-bucket by doc_id so
@@ -87,6 +131,14 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--output", required=True, help="extracted table/path")
     p.add_argument("--checkpoint", default=None, help="checkpoint metrics table/path")
     p.add_argument("--config", default=None, help="frozen model_config.json")
+    p.add_argument(
+        "--tenants",
+        default=None,
+        help="comma-separated tenant ids; each resolves "
+        "{config-dir}/{tenant}_model_config.json (missing -> default config)",
+    )
+    p.add_argument("--config-dir", default=None, help="directory of per-tenant configs")
+    p.add_argument("--tenant-column", default="tenant_id")
     p.add_argument("--run-id", default="run-0")
     p.add_argument("--resume", action="store_true", help="anti-join completed doc_ids")
     p.add_argument("--spread-partitions", type=int, default=None)

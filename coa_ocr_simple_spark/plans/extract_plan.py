@@ -101,6 +101,54 @@ def build_extract_plan(
     return with_lineage(extracted.select(*columns), options.run_id)
 
 
+def build_multi_tenant_plan(
+    docs: DataFrame,
+    media: DataFrame | None,
+    *,
+    tenant_configs: dict[str, ModelConfig],
+    options: ExtractOptions | None = None,
+    done: DataFrame | None = None,
+    tenant_column: str = "tenant_id",
+) -> DataFrame:
+    """Per-tenant extraction in ONE job invocation (reference
+    app.py:261-301 ``get_tenant_processor``: each tenant gets its own
+    trained model state; an unseen tenant gets a fresh default).
+
+    Spark shape: one subplan per tenant, each with that tenant's frozen
+    config baked into its UDF, unioned at the end — the tenant filter is
+    a pushed-down predicate (partition pruning when the table is
+    partitioned/bucketed by tenant), and no per-row config dispatch ever
+    enters the Python hot path.  Docs whose tenant has no config run
+    under ``options.config`` (the reference's fresh-default behavior).
+    Every result row carries its tenant in ``_tenant_id``."""
+    from dataclasses import replace
+
+    options = options or ExtractOptions()
+    plans: list[DataFrame] = []
+    known = sorted(tenant_configs)
+    for tenant in known:
+        sub = docs.where(F.col(tenant_column) == tenant).drop(tenant_column)
+        topts = replace(options, config=tenant_configs[tenant])
+        plans.append(
+            build_extract_plan(sub, media, options=topts, done=done).withColumn(
+                "_tenant_id", F.lit(tenant)
+            )
+        )
+    rest = docs.where(
+        ~F.coalesce(F.col(tenant_column).isin(*known), F.lit(False))
+    )
+    default_branch = build_extract_plan(
+        rest.drop(tenant_column), media, options=options, done=done
+    ).join(
+        rest.select("doc_id", F.col(tenant_column).alias("_tenant_id")), "doc_id"
+    )
+    plans.append(default_branch)
+    out = plans[0]
+    for p in plans[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _fastpath_plan(simple_docs: DataFrame, options: ExtractOptions):
     """Narrow plan for single-text-span documents: no explode, no media
     join, no groupBy — scan partitions flow straight into the fused UDF.
