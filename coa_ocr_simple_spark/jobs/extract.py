@@ -49,10 +49,20 @@ def load_tenant_configs(config_dir: str, tenants: list[str]) -> dict[str, ModelC
     return out
 
 
-def make_session(app: str, master: str | None, shuffle_partitions: int | None):
+def make_session(
+    app: str,
+    master: str | None,
+    shuffle_partitions: int | None,
+    extra_conf: list[str] | None = None,
+):
     builder = SparkSession.builder.appName(app)
     if master:
         builder = builder.master(master)
+    for kv in extra_conf or []:
+        key, sep, value = kv.partition("=")
+        if not sep or not key:
+            raise SystemExit(f"--conf expects key=value, got: {kv!r}")
+        builder = builder.config(key, value)
     builder = (
         builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -147,12 +157,20 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--include-full-text", action="store_true")
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        help="extra spark conf key=value (repeatable), as with spark-submit",
+    )
     return p.parse_args(argv)
 
 
 def main(argv=None) -> None:
     args = parse_args(argv)
-    spark = make_session("coa-extract", args.master, args.shuffle_partitions)
+    spark = make_session(
+        "coa-extract", args.master, args.shuffle_partitions, args.conf
+    )
     summary = run(args, spark)
     print(summary)
 

@@ -98,6 +98,107 @@ def test_resume_is_idempotent_and_complete(spark, tmp_path):
     assert metrics.where("n_docs <= 0").count() == 0
 
 
+def test_kill_mid_write_resume_exactly_once(spark, tmp_path):
+    """A REAL crash, not a simulated prefix: SIGKILL the spark-submit
+    entry point mid-append (committer v2 so finished tasks' files are
+    already visible — the realistic object-store config), then --resume.
+    Exactly-once: every doc present exactly once afterwards, and the
+    resumed run only processed the remainder (SURVEY §7.4; with an
+    Iceberg catalog the same test would pin the resume read to the last
+    committed snapshot — ICEBERG.md)."""
+    import glob
+    import random
+    import subprocess
+    import sys
+    import time
+
+    n_files, docs_per_file = 16, 400
+    total = n_files * docs_per_file
+    rng = random.Random(11)
+    docs_dir = tmp_path / "docs.parquet"
+    docs_dir.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coa_ocr_simple_spark.fixtures.generate import DOCS_SCHEMA
+
+    i = 0
+    for f in range(n_files):  # many input splits => many progressive task commits
+        rows = []
+        for _ in range(docs_per_file):
+            rows.append(
+                {
+                    "doc_id": f"doc-{i:08d}",
+                    "spans": [
+                        {
+                            "kind": "text",
+                            "text": template_coa(rng),
+                            "media_ref": None,
+                            "offset": 0,
+                        }
+                    ],
+                }
+            )
+            i += 1
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=DOCS_SCHEMA),
+            str(docs_dir / f"part-{f:04d}.parquet"),
+        )
+
+    out = str(tmp_path / "extracted")
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "coa_ocr_simple_spark.jobs.extract",
+            "--input", str(docs_dir), "--output", out, "--run-id", "kill1",
+            # ONE worker thread => the 16 write tasks run strictly
+            # sequentially, so killing after the first task's file appears
+            # guarantees the write is genuinely interrupted
+            "--master", "local[1]", "--shuffle-partitions", "8",
+            "--conf",
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
+            # stop file-packing from fusing the 16 small inputs into one
+            # task (one task = one commit = nothing to interrupt)
+            "--conf", "spark.sql.files.maxPartitionBytes=65536",
+            "--conf", "spark.sql.files.openCostInBytes=0",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.ui.showConsoleProgress=false",
+        ],
+        cwd="/root/repo",
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    deadline = time.time() + 180
+    killed_mid_write = False
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            break  # finished before we could kill — resume still must no-op
+        if glob.glob(f"{out}/part-*.parquet"):
+            proc.kill()  # SIGKILL: no cleanup, no job commit
+            killed_mid_write = True
+            break
+        time.sleep(0.02)
+    proc.wait(timeout=60)
+
+    committed = spark.read.parquet(out).count() if killed_mid_write else total
+    if killed_mid_write:
+        assert committed < total  # the crash really did interrupt the write
+
+    summary = run(
+        parse_args(
+            [
+                "--input", str(docs_dir), "--output", out,
+                "--run-id", "kill2", "--resume",
+            ]
+        ),
+        spark,
+    )
+    assert summary["docs_written"] == total - committed
+
+    final = spark.read.parquet(out)
+    assert final.count() == total  # no doc lost
+    assert final.select("doc_id").distinct().count() == total  # none duplicated
+
+
 def test_lsh_hot_bucket_guard_caps_mega_buckets(spark, tmp_path):
     """A template-boilerplate corpus puts thousands of docs into one
     (band, signature) bucket; without a bound, pair explosion there is
