@@ -235,6 +235,120 @@ SELECT vec_id, centroid_id, dot_q FROM scored WHERE rn = 1
 """
 
 
+# --- IVF probe search (completes the IVF story: assign + search) -----------------------
+
+_IVF_TOPK = 5
+
+
+def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF search: each query vector probes ONLY its own inverted
+    list (nprobe=1) — the candidate set is an equi-join on centroid_id,
+    never a cross join; exact quantized dot + top-k with explicit
+    tie-break ranks the list.  Together with q_ann_ivf_assign (the index
+    build) this is the complete IVF ANN path; recall vs the brute-force
+    baseline is bounded by list assignment, by design.
+
+    The assignment subtree feeds both the query and candidate branches
+    (no cross-branch CSE in Spark), and the quantized vectors feed both
+    exact-dot sides — both are persisted."""
+    assigned = q_ann_ivf_assign(spark, sf_dir).persist()
+    emb = (
+        _read(spark, sf_dir, "embeddings")
+        .select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+        .persist()
+    )
+    queries = assigned.where(F.col("vec_id") % _QMOD == 0).select(
+        F.col("vec_id").alias("query_id"), "centroid_id"
+    )
+    cands = assigned.where(F.col("vec_id") % _QMOD != 0).select(
+        F.col("vec_id").alias("neighbor_id"), "centroid_id"
+    )
+    pairs = (
+        queries.join(cands, "centroid_id")
+        .join(emb.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("q")), "query_id")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("c")), "neighbor_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("q", "c", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select("query_id", "neighbor_id", dot.alias("dot_q"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _IVF_TOPK)
+        .select("query_id", "rank", "neighbor_id", "dot_q")
+    )
+
+
+_IVF_SEARCH_SQL = f"""
+WITH assigned AS ({{ivf}}),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), queries AS (
+  SELECT vec_id AS query_id, centroid_id FROM assigned WHERE vec_id % {_QMOD} = 0
+), cands AS (
+  SELECT vec_id AS neighbor_id, centroid_id FROM assigned WHERE vec_id % {_QMOD} != 0
+), scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot_q
+  FROM (SELECT query_id, neighbor_id FROM queries JOIN cands USING (centroid_id)) p
+  JOIN q a ON p.query_id = a.vec_id
+  JOIN q b ON p.neighbor_id = b.vec_id
+)
+SELECT query_id, rank, neighbor_id, dot_q FROM (
+  SELECT query_id, neighbor_id, dot_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot_q DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_IVF_TOPK}
+"""
+
+
+# --- BPE-ish regex pre-tokenizer stats ---------------------------------------------------
+
+# GPT-2-style pretokenizer classes, restricted to the ASCII subset where
+# Java regex (Spark), RE2 (DuckDB) and Python re agree exactly: letter
+# runs, digit runs, non-alphanumeric-non-space runs.
+_BPE_WORD = "[A-Za-z]+"
+_BPE_NUM = "[0-9]+"
+_BPE_PUNCT = r"[^A-Za-z0-9\s]+"
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization counts (the token-budget estimator of a
+    training-data pipeline): per-doc counts of letter runs, digit runs
+    and punctuation runs, plus their total — all JVM-side regex, no
+    UDF."""
+    docs = _read(spark, sf_dir, "documents")
+    counts = [
+        F.size(F.regexp_extract_all("text", F.lit(p), 0)).cast("long")
+        for p in (_BPE_WORD, _BPE_NUM, _BPE_PUNCT)
+    ]
+    return docs.select(
+        "doc_id",
+        counts[0].alias("n_word_runs"),
+        counts[1].alias("n_digit_runs"),
+        counts[2].alias("n_punct_runs"),
+        (counts[0] + counts[1] + counts[2]).alias("n_pretokens"),
+    )
+
+
+_BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_WORD}')) AS n_word_runs,
+       len(regexp_extract_all(text, '{_BPE_NUM}')) AS n_digit_runs,
+       len(regexp_extract_all(text, '{_BPE_PUNCT}')) AS n_punct_runs,
+       len(regexp_extract_all(text, '{_BPE_WORD}'))
+         + len(regexp_extract_all(text, '{_BPE_NUM}'))
+         + len(regexp_extract_all(text, '{_BPE_PUNCT}')) AS n_pretokens
+FROM documents
+"""
+
+
 # --- SimHash near-dup signature ----------------------------------------------------
 
 _SIMHASH_BITS = 16
@@ -423,6 +537,8 @@ QUERIES_EXT = {
     "ann_topk": q_ann_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf_assign": q_ann_ivf_assign,
+    "ann_ivf_search": q_ann_ivf_search,
+    "bpe_token_stats": q_bpe_token_stats,
     "dedup_simhash": q_dedup_simhash,
     "language_quality": q_language_quality,
     "sessionize_events": q_sessionize_events,
@@ -432,6 +548,8 @@ ORACLES_EXT = {
     "ann_topk": _ANN_TOPK_SQL,
     "ann_lsh_bucketed": _lsh_sql(),
     "ann_ivf_assign": _IVF_SQL,
+    "ann_ivf_search": _IVF_SEARCH_SQL.format(ivf=_IVF_SQL),
+    "bpe_token_stats": _BPE_SQL,
     "dedup_simhash": _simhash_sql(),
     "language_quality": _language_quality_sql(),
     "sessionize_events": _SESSIONIZE_SQL,

@@ -77,3 +77,55 @@ def test_feature_extractor_stability():
     e = DeterministicFeatureExtractor()
     assert e.features(b"abc") == e.features(b"abc")
     assert e.features(b"abc") != e.features(b"abd")
+
+
+def test_streaming_dedup_suppresses_duplicates_across_restarts(spark, tmp_path):
+    """Streaming exact dedup: first-seen content hashes are emitted once,
+    including duplicates arriving in a LATER run — the seen-set lives in
+    the checkpointed state store and survives restart."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coa_ocr_simple_spark.streaming.dedup_stream import run_streaming_dedup
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name: str, rows: list[tuple[int, str]]) -> None:
+        pq.write_table(
+            pa.Table.from_pylist(
+                [
+                    {
+                        "doc_id": i,
+                        "text": t,
+                        "lang": "en",
+                        "source": "s",
+                        "n_chars": len(t),
+                    }
+                    for i, t in rows
+                ]
+            ),
+            str(inp / name),
+        )
+
+    # run 1: 10 docs, texts 3 and 4 duplicate text 0 -> 8 distinct
+    write_batch(
+        "b1.parquet",
+        [(i, f"text-{0 if i in (3, 4) else i}") for i in range(10)],
+    )
+    run_streaming_dedup(spark, str(inp), out, ckpt)
+    first = spark.read.parquet(out)
+    assert first.count() == 8
+    assert first.select("content_hash").distinct().count() == 8
+
+    # run 2 (restart, same checkpoint): 2 duplicates of run-1 texts + 3 new
+    write_batch(
+        "b2.parquet",
+        [(10, "text-0"), (11, "text-5"), (12, "new-a"), (13, "new-b"), (14, "new-c")],
+    )
+    run_streaming_dedup(spark, str(inp), out, ckpt)
+    final = spark.read.parquet(out)
+    assert final.count() == 11  # 8 + only the 3 genuinely new texts
+    assert final.select("content_hash").distinct().count() == 11
