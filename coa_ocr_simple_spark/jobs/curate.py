@@ -1,0 +1,88 @@
+"""spark-submit entry point for corpus curation — the training-data
+funnel as a runnable job:
+
+    quality gate (language/stopword/length)
+      -> exact dedup (md5 content hash, min-doc_id representative)
+      -> near-dup removal (MinHash-LSH candidates, hot-bucket capped,
+         exact n-gram Jaccard >= threshold drops the larger doc_id)
+
+Usage:
+  python -m coa_ocr_simple_spark.jobs.curate \\
+      --input /path/documents.parquet --output /path/curated \\
+      [--report /path/report.parquet] [--jaccard-min 80]
+
+The output is the curated subset of the input rows (full columns,
+unchanged), written by doc_id semi-join — payload bytes move only once,
+at the final write; every funnel decision flows through doc_id sets.
+Prints one JSON line with the per-stage survivor counts (the same
+numbers the oracle-checked `curation_funnel` query emits).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.driver_queries_dedup import _FUNNEL_JACCARD_MIN, curation_stages
+from ..sources.tables import TableIO
+
+
+def run(args: argparse.Namespace, spark: SparkSession) -> dict:
+    io = TableIO(spark)
+    docs = io.read(args.input)
+
+    quality, surviving_exact, final = curation_stages(
+        docs, jaccard_min=args.jaccard_min
+    )
+    final = final.persist()  # feeds the count, the write, and the report
+
+    curated = docs.join(final, "doc_id", "left_semi")
+    io.append(curated, args.output)
+
+    summary = {
+        "n_total": docs.count(),
+        "n_quality": quality.count(),
+        "n_after_exact_dedup": surviving_exact.count(),
+        "n_curated": final.count(),
+        "jaccard_min": args.jaccard_min,
+    }
+    if args.report:
+        report = spark.createDataFrame(
+            [
+                (stage, int(n))
+                for stage, n in summary.items()
+                if stage != "jaccard_min"
+            ],
+            "stage string, n_docs long",
+        )
+        io.append(report, args.report)
+    return summary
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="training-corpus curation funnel")
+    p.add_argument("--input", required=True, help="documents table/path")
+    p.add_argument("--output", required=True, help="curated-documents table/path")
+    p.add_argument("--report", default=None, help="stage-counts table/path")
+    p.add_argument("--jaccard-min", type=int, default=_FUNNEL_JACCARD_MIN)
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--conf", action="append", default=[])
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    from .extract import make_session
+
+    args = parse_args(argv)
+    spark = make_session(
+        "coa-curate", args.master, args.shuffle_partitions, args.conf
+    )
+    print(json.dumps(run(args, spark), sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()

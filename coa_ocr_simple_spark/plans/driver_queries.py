@@ -256,16 +256,17 @@ GROUP BY c.doc_type
 # --- exact deduplication (net-new training-data op) --------------------------------
 
 
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-hash dedup: one representative per distinct text, dup count."""
-    return (
-        _docs(spark, sf_dir)
-        .groupBy(F.md5(F.col("text")).alias("content_hash"))
-        .agg(
-            F.min("doc_id").alias("representative_doc_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Content-hash dedup: one representative per distinct text, dup count.
+    DataFrame-level form, shared by the driver query and jobs/curate.py."""
+    return docs.groupBy(F.md5(F.col("text")).alias("content_hash")).agg(
+        F.min("doc_id").alias("representative_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(_docs(spark, sf_dir))
 
 
 _DEDUP_EXACT_SQL = """
@@ -365,7 +366,7 @@ _MINHASH_BANDS = 8
 _SHINGLE = 8
 
 
-def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_bands(docs: DataFrame) -> DataFrame:
     """MinHash-LSH banding, built entirely from JVM-side functions.
 
     One md5 per char-8-shingle; band b's hash family is the 8-hex-char
@@ -377,7 +378,6 @@ def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     follow-up is a groupBy((band, signature)) -> candidate pairs, a pure
     shuffle whose fan-in LSH keeps tiny.
     """
-    docs = _docs(spark, sf_dir)
     n = F.greatest(F.length("text") - F.lit(_SHINGLE - 1), F.lit(1))
     hashes = F.transform(
         F.sequence(F.lit(0), n - 1),
@@ -395,6 +395,10 @@ def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select(
         "doc_id", F.posexplode(sigs).alias("band", "signature")
     ).withColumn("band", F.col("band").cast("long"))
+
+
+def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_bands(_docs(spark, sf_dir))
 
 
 _MINHASH_SQL = f"""

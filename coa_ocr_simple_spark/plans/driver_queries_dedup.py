@@ -37,7 +37,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .driver_queries import q_dedup_minhash_bands
+from .driver_queries import minhash_bands, q_dedup_minhash_bands
 from .driver_queries_ext import _HEX, _probe_dim, _quantize
 
 _MAX_BUCKET = 256  # hot-bucket guard: max docs per LSH bucket before drop
@@ -86,19 +86,23 @@ def _pairs_within_buckets(
 # --- MinHash-LSH candidate pairs ---------------------------------------------------
 
 
-def q_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Turn the band buckets into unordered candidate pairs with the
     number of agreeing bands (more bands = higher estimated Jaccard).
 
     One documents scan, one groupBy(band, signature), one groupBy(pair):
     the md5-shingle transform runs exactly once per doc."""
-    bands = q_dedup_minhash_bands(spark, sf_dir)
+    bands = minhash_bands(docs)
     pairs = _pairs_within_buckets(
         bands, ["band", "signature"], "doc_id", "doc_a", "doc_b"
     )
     return pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_bands_agree")
     )
+
+
+def q_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidate_pairs(_docs(spark, sf_dir))
 
 
 def _minhash_pairs_sql() -> str:
@@ -128,8 +132,7 @@ _MIN_BANDS_AGREE = 3  # score only candidates agreeing on >=3/8 bands —
 # sf0.1 on this template-heavy corpus) before the exact O(|grams|) check
 
 
-def _gram_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+def _gram_sets(docs: DataFrame) -> DataFrame:
     n = F.greatest(F.length("text") - F.lit(_NGRAM - 1), F.lit(1))
     grams = F.array_distinct(
         F.transform(
@@ -140,7 +143,7 @@ def _gram_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", grams.alias("grams"))
 
 
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     """Exact n-gram Jaccard on MinHash candidates: distinct char-5-grams
     per doc, pairs from the band buckets (>= _MIN_BANDS_AGREE bands),
     |A∩B|/|A∪B| as an integer percentage (floor), computed via array ops —
@@ -149,10 +152,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The gram-set DataFrame feeds BOTH sides of the pair join; Spark has
     no cross-branch CSE, so it is persisted to stop the O(len) gram
     transform running twice."""
-    gram_sets = _gram_sets(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    gram_sets = _gram_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
 
     candidates = (
-        q_minhash_candidate_pairs(spark, sf_dir)
+        minhash_candidate_pairs(docs)
         .where(F.col("n_bands_agree") >= _MIN_BANDS_AGREE)
         .select("doc_a", "doc_b")
     )
@@ -168,6 +171,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         union.cast("long").alias("n_total_grams"),
         F.floor(inter * 100 / union).cast("long").alias("jaccard_pct"),
     )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
 def _ngram_jaccard_sql() -> str:
@@ -356,32 +363,29 @@ WHERE dot > 0 AND 10000 * dot * dot > 1600 * na * nb
 _FUNNEL_JACCARD_MIN = 80  # near-dup drop threshold (percent)
 
 
-def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end corpus curation — what the dedup/quality operators exist
-    for: quality gate -> exact dedup (keep min-doc_id representative) ->
-    near-dup removal (drop the larger doc_id of any >=80% Jaccard pair).
-    Emits the per-stage survivor counts as one row, each stage a pure
-    composition of the already-verified operators.
+def curation_stages(docs: DataFrame, jaccard_min: int = _FUNNEL_JACCARD_MIN):
+    """The funnel's stage DataFrames over an arbitrary documents-shaped
+    input: (quality survivors, post-exact-dedup survivors, final curated
+    doc_ids).  Shared by the driver query and jobs/curate.py.
 
     The quality and post-exact-dedup survivor sets each feed two
     consumers (their own stage count + the next stage); both are
     persisted (doc_id-only, tiny) so no upstream stage re-executes."""
-    from .driver_queries import q_dedup_exact
-    from .driver_queries_ext import q_language_quality
+    from .driver_queries import dedup_exact
+    from .driver_queries_ext import language_quality
 
-    docs = _docs(spark, sf_dir).select("doc_id")
     quality = (
-        q_language_quality(spark, sf_dir)
+        language_quality(docs)
         .where(F.col("is_quality"))
         .select("doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    exact_reps = q_dedup_exact(spark, sf_dir).select(
+    exact_reps = dedup_exact(docs).select(
         F.col("representative_doc_id").alias("doc_id")
     )
     neardup_losers = (
-        q_ngram_jaccard_pairs(spark, sf_dir)
-        .where(F.col("jaccard_pct") >= _FUNNEL_JACCARD_MIN)
+        ngram_jaccard_pairs(docs)
+        .where(F.col("jaccard_pct") >= jaccard_min)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -389,8 +393,19 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     final = surviving_exact.join(neardup_losers, "doc_id", "left_anti")
+    return quality, surviving_exact, final
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — what the dedup/quality operators exist
+    for: quality gate -> exact dedup (keep min-doc_id representative) ->
+    near-dup removal (drop the larger doc_id of any >=80% Jaccard pair).
+    Emits the per-stage survivor counts as one row, each stage a pure
+    composition of the already-verified operators."""
+    docs = _docs(spark, sf_dir)
+    quality, surviving_exact, final = curation_stages(docs)
     return (
-        docs.agg(F.count(F.lit(1)).alias("n_total"))
+        docs.select("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
         .crossJoin(quality.agg(F.count(F.lit(1)).alias("n_quality")))
         .crossJoin(surviving_exact.agg(F.count(F.lit(1)).alias("n_after_exact_dedup")))
         .crossJoin(final.agg(F.count(F.lit(1)).alias("n_curated")))

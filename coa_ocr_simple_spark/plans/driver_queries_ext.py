@@ -411,11 +411,11 @@ _STOPWORDS = {
 }
 
 
-def q_language_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def language_quality(docs: DataFrame) -> DataFrame:
     """Stopword-vote language ID (en/de/fr/unknown) + integer-threshold
     quality gate — the standard first filters of a training-data pipeline,
-    entirely JVM-side."""
-    docs = _read(spark, sf_dir, "documents")
+    entirely JVM-side.  DataFrame-level form, shared by the driver query
+    and jobs/curate.py."""
     tokens = F.when(F.length(F.trim(F.col("text"))) == 0, F.array()).otherwise(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     )
@@ -449,6 +449,10 @@ def q_language_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.cast("long").alias("n_tokens"),
         quality.cast("boolean").alias("is_quality"),
     )
+
+
+def q_language_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_quality(_read(spark, sf_dir, "documents"))
 
 
 def _language_quality_sql() -> str:

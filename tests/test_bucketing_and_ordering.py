@@ -98,3 +98,42 @@ def test_pipeline_recovers_shuffled_offsets(spark, tmp_path):
             for k, v in oracle["entities"].items()
             if not isinstance(v, (list, dict))
         }
+
+
+def test_bucket_pair_generation_matches_naive_reference(spark):
+    """The groupBy-bucket pair generator (driver_queries_dedup.
+    _pairs_within_buckets) must emit exactly the pairs a naive nested
+    loop would, across randomized inputs — including buckets at, above,
+    and below the hot-bucket cap, and ids arriving in shuffled order."""
+    import itertools
+    import random
+
+    from coa_ocr_simple_spark.plans.driver_queries_dedup import (
+        _MAX_BUCKET,
+        _pairs_within_buckets,
+    )
+
+    rng = random.Random(23)
+    for trial in range(4):
+        rows = []
+        sizes = [1, 2, 3, 7, _MAX_BUCKET, _MAX_BUCKET + 1, rng.randint(2, 40)]
+        for b, size in enumerate(sizes):
+            ids = [f"id-{b}-{i:05d}" for i in range(size)]
+            rng.shuffle(ids)
+            rows += [(str(b % 3), f"sig-{b}", i) for i in ids]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "band string, sig string, doc_id string")
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in _pairs_within_buckets(df, ["band", "sig"], "doc_id", "doc_a", "doc_b").collect()
+        }
+
+        buckets = {}
+        for band, sig, i in rows:
+            buckets.setdefault((band, sig), []).append(i)
+        want = set()
+        for ids in buckets.values():
+            if 2 <= len(ids) <= _MAX_BUCKET:
+                for a, b2 in itertools.combinations(sorted(ids), 2):
+                    want.add((a, b2))
+        assert got == want, f"trial {trial}: {len(got)} vs {len(want)}"
