@@ -84,18 +84,20 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from coa_ocr_simple_spark.plans.driver_queries import QUERIES
     from coa_ocr_simple_spark.plans.driver_queries_core import QUERIES_CORE
+    from coa_ocr_simple_spark.plans.driver_queries_corpus import QUERIES_CORPUS
     from coa_ocr_simple_spark.plans.driver_queries_dedup import QUERIES_DEDUP
     from coa_ocr_simple_spark.plans.driver_queries_ext import QUERIES_EXT
     from coa_ocr_simple_spark.plans.driver_queries_rel import QUERIES_REL
 
-    return {**QUERIES, **QUERIES_EXT, **QUERIES_DEDUP, **QUERIES_REL, **QUERIES_CORE}
+    return {**QUERIES, **QUERIES_EXT, **QUERIES_DEDUP, **QUERIES_REL, **QUERIES_CORE, **QUERIES_CORPUS}
 
 
 def oracle_sql() -> dict[str, str]:
     from coa_ocr_simple_spark.plans.driver_queries import ORACLES
     from coa_ocr_simple_spark.plans.driver_queries_core import ORACLES_CORE
+    from coa_ocr_simple_spark.plans.driver_queries_corpus import ORACLES_CORPUS
     from coa_ocr_simple_spark.plans.driver_queries_dedup import ORACLES_DEDUP
     from coa_ocr_simple_spark.plans.driver_queries_ext import ORACLES_EXT
     from coa_ocr_simple_spark.plans.driver_queries_rel import ORACLES_REL
 
-    return {**ORACLES, **ORACLES_EXT, **ORACLES_DEDUP, **ORACLES_REL, **ORACLES_CORE}
+    return {**ORACLES, **ORACLES_EXT, **ORACLES_DEDUP, **ORACLES_REL, **ORACLES_CORE, **ORACLES_CORPUS}

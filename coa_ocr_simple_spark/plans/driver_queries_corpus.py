@@ -1,0 +1,161 @@
+"""Wave-5 driver queries: corpus-analysis / data-governance operators a
+large-scale training-data pipeline needs beyond dedup and quality.
+
+- ``top_terms``           — corpus-level term frequencies (the sanity
+  dashboard of any corpus build): one explode + one count, top-20 with
+  an explicit tie-break;
+- ``redact_pii``          — email/phone redaction with per-doc counts
+  and an md5 of the redacted text (proves replacement semantics agree
+  cross-engine bit-for-bit).  The generic corpus contains no PII, so the
+  input is deterministically synthesized from doc_id via the same
+  printf-both-engines technique as driver_queries_core;
+- ``contamination_pairs`` — train/test overlap detection: split the
+  corpus by doc_id parity (the stand-in for 'train table' vs 'eval
+  table'), report MinHash-LSH candidate pairs that CROSS the split —
+  the standard pre-training decontamination check, reusing the
+  hot-bucket-capped pair generator (never all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .driver_queries import _docs, _read
+from .driver_queries_dedup import _MIN_BANDS_AGREE, minhash_candidate_pairs
+
+# --- corpus term frequencies -------------------------------------------------------------
+
+_TOP_K = 20
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    token = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+    return (
+        docs.select(token)
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(_TOP_K)
+    )
+
+
+_TOP_TERMS_SQL = f"""
+SELECT term, COUNT(*) AS n_occurrences
+FROM (
+  SELECT unnest(regexp_split_to_array(lower(TRIM(text)), '\\s+')) AS term
+  FROM documents
+) WHERE term != ''
+GROUP BY term
+ORDER BY n_occurrences DESC, term ASC
+LIMIT {_TOP_K}
+"""
+
+
+# --- PII redaction -----------------------------------------------------------------------
+
+_EMAIL = r"[A-Za-z0-9._]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+# the generic corpus has no PII; synthesize contact lines from doc_id —
+# identical printf template in both engines (see driver_queries_core)
+_PII_TMPL = (
+    "Report %d prepared by user%d@example-%d.com\n"
+    "Escalation: ops.team%d@corp.example.org or 555-%03d-%04d\n"
+    "Reference text without contacts, id %d"
+)
+_PII_ARGS = [
+    "doc_id",
+    "doc_id % 50",
+    "doc_id % 7",
+    "doc_id % 9",
+    "100 + doc_id % 900",
+    "1000 + doc_id % 9000",
+    "doc_id",
+]
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction: per-doc match counts + md5 of the redacted
+    text — the value hash makes any cross-engine divergence in
+    replace-all semantics or match boundaries fail loudly."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.format_string(_PII_TMPL, *[F.expr(a) for a in _PII_ARGS]).alias("text"),
+    )
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(_EMAIL), 0)).cast("long")
+    n_phones = F.size(F.regexp_extract_all("text", F.lit(_PHONE), 0)).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL, "<EMAIL>"), _PHONE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def _redact_sql() -> str:
+    lit = _PII_TMPL.replace("'", "''")
+    synth = f"printf('{lit}', {', '.join(_PII_ARGS)})"
+    email = _EMAIL.replace("'", "''")
+    phone = _PHONE.replace("'", "''")
+    return f"""
+WITH synth AS (
+  SELECT doc_id, {synth} AS text FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{email}')) AS n_emails,
+       len(regexp_extract_all(text, '{phone}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                          '{phone}', '<PHONE>', 'g')) AS redacted_md5
+FROM synth
+"""
+
+
+# --- train/test contamination ------------------------------------------------------------
+
+
+def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training decontamination: near-duplicate candidate pairs that
+    cross the train/eval split (doc_id parity stands in for the two
+    tables).  Reuses the bucket-grouped MinHash pair generator — at
+    100 TB this is the same one-shuffle LSH plan, with the eval side
+    typically tiny and broadcastable."""
+    pairs = minhash_candidate_pairs(_docs(spark, sf_dir)).where(
+        F.col("n_bands_agree") >= _MIN_BANDS_AGREE
+    )
+    return pairs.where(
+        (F.col("doc_a") % 2) != (F.col("doc_b") % 2)
+    ).select(
+        F.col("doc_a").alias("train_doc_id"),
+        F.col("doc_b").alias("eval_doc_id"),
+        "n_bands_agree",
+    )
+
+
+def _contamination_sql() -> str:
+    from .driver_queries_dedup import _minhash_pairs_sql
+
+    return f"""
+SELECT doc_a AS train_doc_id, doc_b AS eval_doc_id, n_bands_agree
+FROM ({_minhash_pairs_sql()})
+WHERE n_bands_agree >= {_MIN_BANDS_AGREE}
+  AND (doc_a % 2) != (doc_b % 2)
+"""
+
+
+QUERIES_CORPUS = {
+    "top_terms": q_top_terms,
+    "redact_pii": q_redact_pii,
+    "contamination_pairs": q_contamination_pairs,
+}
+
+ORACLES_CORPUS = {
+    "top_terms": _TOP_TERMS_SQL,
+    "redact_pii": _redact_sql(),
+    "contamination_pairs": _contamination_sql(),
+}
