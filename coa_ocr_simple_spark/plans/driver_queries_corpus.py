@@ -148,13 +148,86 @@ WHERE n_bands_agree >= {_MIN_BANDS_AGREE}
 """
 
 
+# --- as-of join --------------------------------------------------------------------------
+
+
+def q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark lacks natively: for every 'click'
+    event, the most recent 'view' by the same user at or before the
+    click.  Implemented as the classic union + running-last window (ONE
+    shuffle on user_id, no join at all — the scale-correct formulation;
+    a naive ts-range join is quadratic per user).  Deterministic
+    ordering: (ts, kind view<click, event_id), so an equal-timestamp
+    view counts as 'before' and ties are explicit.  DuckDB has a native
+    ASOF JOIN, but its equal-key tie-breaking is unspecified, so the
+    oracle mirrors this exact window formulation instead."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind"), us.alias("us")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind"), us.alias("us")
+    )
+    u = views.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_view_id = F.last(
+        F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True
+    ).over(w)
+    last_view_us = F.last(
+        F.when(F.col("kind") == 0, F.col("us")), ignorenulls=True
+    ).over(w)
+    return (
+        u.withColumn("last_view_id", last_view_id)
+        .withColumn("gap_us", (F.col("us") - last_view_us).cast("long"))
+        .where(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            "last_view_id",
+            "gap_us",
+        )
+    )
+
+
+_ASOF_SQL = """
+WITH u AS (
+  SELECT user_id, ts, event_id, 0 AS kind, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS kind, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'click'
+), marked AS (
+  SELECT user_id, event_id, kind, us,
+         last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+           OVER w AS last_view_id,
+         last_value(CASE WHEN kind = 0 THEN us END IGNORE NULLS)
+           OVER w AS last_view_us
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id AS click_id, user_id, last_view_id,
+       CAST(us - last_view_us AS BIGINT) AS gap_us
+FROM marked WHERE kind = 1
+"""
+
+
 QUERIES_CORPUS = {
+    "asof_last_view": q_asof_last_view,
     "top_terms": q_top_terms,
     "redact_pii": q_redact_pii,
     "contamination_pairs": q_contamination_pairs,
 }
 
 ORACLES_CORPUS = {
+    "asof_last_view": _ASOF_SQL,
     "top_terms": _TOP_TERMS_SQL,
     "redact_pii": _redact_sql(),
     "contamination_pairs": _contamination_sql(),
