@@ -53,19 +53,29 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pairs_within_buckets(
     df: DataFrame, keys: list[str], id_col: str, a: str, b: str
 ) -> DataFrame:
-    """Unordered (a < b) pairs of ids sharing a bucket, built from ONE
-    aggregation over ``df`` (no self-join, so the upstream subtree is
-    never evaluated twice).  Buckets above _MAX_BUCKET are dropped (see
-    module docstring); per-bucket pair fan-out is therefore bounded by
-    _MAX_BUCKET^2/2, so no single task can become a quadratic straggler.
-    """
-    buckets = (
+    """Unordered (a < b) pairs of ids sharing a bucket.
+
+    Count-first, collect-second: pass 1 aggregates bucket SIZES only
+    (constant memory per key) and keeps buckets in [2, _MAX_BUCKET];
+    pass 2 semi-joins the rows of surviving buckets and collects their
+    id lists.  A mega-bucket (10^9 identical boilerplate docs at corpus
+    scale) is filtered out before ANY list materializes — collecting
+    first and filtering after would OOM the reducer holding it.  The
+    input is persisted so its upstream (the md5-shingle band transform)
+    still runs exactly once despite the two passes; per-bucket pair
+    fan-out is bounded by _MAX_BUCKET^2/2, so no task can become a
+    quadratic straggler."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    ok_buckets = (
         df.groupBy(*keys)
-        .agg(
-            F.sort_array(F.collect_list(id_col)).alias("_ids"),
-            F.count(F.lit(1)).alias("_bsz"),
-        )
+        .agg(F.count(F.lit(1)).alias("_bsz"))
         .where((F.col("_bsz") >= 2) & (F.col("_bsz") <= _MAX_BUCKET))
+        .select(*keys)
+    )
+    buckets = (
+        df.join(ok_buckets, keys, "left_semi")
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
     )
     pair = F.explode(
         F.flatten(
