@@ -148,6 +148,86 @@ WHERE n_bands_agree >= {_MIN_BANDS_AGREE}
 """
 
 
+# --- winnowing fingerprint (rolling-hash document fingerprinting) ------------------------
+
+_WIN_K = 8  # k-gram length
+_WIN_W = 4  # winnowing window (consecutive k-gram hashes)
+_WIN_B = 257  # polynomial base
+_WIN_M = 2_147_483_647  # modulus (2^31 - 1); acc*B + 255 < 2^39 fits BIGINT
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS algorithm): polynomial hash of
+    every k-gram, minimum per w-window, distinct minima = the document's
+    fingerprint set.  Rolling-hash selection guarantees any shared
+    substring of length >= k+w-1 contributes at least one common
+    fingerprint — the plagiarism/near-dup primitive that, unlike MinHash,
+    localizes WHERE documents overlap.  All integer math, JVM-side.
+
+    Per-position hashes are computed directly (O(k) each) rather than
+    rolled — the 'rolling' recurrence is a constant-factor optimization
+    that a columnar engine replaces with data parallelism; the selected
+    fingerprints are identical.  Emitted as count + md5 of the sorted
+    set (exact in both engines)."""
+    docs = _docs(spark, sf_dir)
+    n_h = F.length("text") - F.lit(_WIN_K - 1)  # number of k-grams
+
+    def kgram_hash(i):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(_WIN_K - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: (acc * _WIN_B + F.ascii(F.col("text").substr(i + j + 1, F.lit(1)))) % _WIN_M,
+        )
+
+    hashes = F.transform(F.sequence(F.lit(0), n_h - 1), kgram_hash)
+    mins = F.transform(
+        F.sequence(F.lit(0), n_h - _WIN_W),
+        lambda s: F.array_min(F.slice(hashes, s + 1, F.lit(_WIN_W))),
+    )
+    fps = F.array_sort(F.array_distinct(mins))
+    eligible = F.length("text") >= _WIN_K + _WIN_W - 1
+    return docs.select(
+        "doc_id",
+        F.when(eligible, F.size(fps)).otherwise(F.lit(0)).cast("long").alias("n_fingerprints"),
+        F.when(eligible, F.md5(F.array_join(F.transform(fps, lambda x: x.cast("string")), ",")))
+        .otherwise(F.lit(""))
+        .alias("fingerprint_md5"),
+    )
+
+
+def _winnow_sql() -> str:
+    # DuckDB lacks a fold over lists with a custom lambda accumulator in
+    # older syntax; list_reduce exists (>=0.10): reduce(l, (acc, x) -> ...)
+    khash = (
+        f"list_reduce(list_transform(range(0, {_WIN_K}), j -> "
+        f"CAST(ascii(substring(text, CAST(i + j + 1 AS INTEGER), 1)) AS BIGINT)), "
+        f"(acc, x) -> (acc * {_WIN_B} + x) % {_WIN_M})"
+    )
+    return f"""
+WITH hs AS (
+  SELECT doc_id, text,
+    CASE WHEN LENGTH(text) >= {_WIN_K + _WIN_W - 1} THEN
+      list_transform(range(0, LENGTH(text) - {_WIN_K - 1}), i -> {khash})
+    END AS h
+  FROM documents
+), mins AS (
+  SELECT doc_id,
+    CASE WHEN h IS NOT NULL THEN
+      list_sort(list_distinct(list_transform(
+        range(0, len(h) - {_WIN_W - 1}),
+        s -> list_min(h[CAST(s + 1 AS INTEGER):CAST(s + {_WIN_W} AS INTEGER)]))))
+    END AS fps
+  FROM hs
+)
+SELECT doc_id,
+  CASE WHEN fps IS NOT NULL THEN len(fps) ELSE 0 END AS n_fingerprints,
+  CASE WHEN fps IS NOT NULL
+       THEN md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ','))
+       ELSE '' END AS fingerprint_md5
+FROM mins
+"""
+
+
 # --- as-of join --------------------------------------------------------------------------
 
 
@@ -221,6 +301,7 @@ FROM marked WHERE kind = 1
 
 QUERIES_CORPUS = {
     "asof_last_view": q_asof_last_view,
+    "winnow_fingerprint": q_winnow_fingerprint,
     "top_terms": q_top_terms,
     "redact_pii": q_redact_pii,
     "contamination_pairs": q_contamination_pairs,
@@ -228,6 +309,7 @@ QUERIES_CORPUS = {
 
 ORACLES_CORPUS = {
     "asof_last_view": _ASOF_SQL,
+    "winnow_fingerprint": _winnow_sql(),
     "top_terms": _TOP_TERMS_SQL,
     "redact_pii": _redact_sql(),
     "contamination_pairs": _contamination_sql(),
