@@ -168,7 +168,14 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled — the 'rolling' recurrence is a constant-factor optimization
     that a columnar engine replaces with data parallelism; the selected
     fingerprints are identical.  Emitted as count + md5 of the sorted
-    set (exact in both engines)."""
+    set (exact in both engines).
+
+    PLAN SHAPE MATTERS HERE: the hash array and the fingerprint array
+    are materialized in their own projections, each referenced MULTIPLE
+    times downstream — otherwise CollapseProject inlines the hash
+    expression into the window lambda and the interpreter recomputes
+    EVERY k-gram hash per window position: O(len^2 * k) per doc,
+    measured 461 s for the whole sf0.1 corpus vs ~2 s materialized."""
     docs = _docs(spark, sf_dir)
     n_h = F.length("text") - F.lit(_WIN_K - 1)  # number of k-grams
 
@@ -179,17 +186,38 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, j: (acc * _WIN_B + F.ascii(F.col("text").substr(i + j + 1, F.lit(1)))) % _WIN_M,
         )
 
-    hashes = F.transform(F.sequence(F.lit(0), n_h - 1), kgram_hash)
-    mins = F.transform(
-        F.sequence(F.lit(0), n_h - _WIN_W),
-        lambda s: F.array_min(F.slice(hashes, s + 1, F.lit(_WIN_W))),
-    )
-    fps = F.array_sort(F.array_distinct(mins))
     eligible = F.length("text") >= _WIN_K + _WIN_W - 1
-    return docs.select(
+    with_hashes = docs.select(
         "doc_id",
-        F.when(eligible, F.size(fps)).otherwise(F.lit(0)).cast("long").alias("n_fingerprints"),
-        F.when(eligible, F.md5(F.array_join(F.transform(fps, lambda x: x.cast("string")), ",")))
+        F.when(
+            eligible, F.transform(F.sequence(F.lit(0), n_h - 1), kgram_hash)
+        ).alias("hs"),
+    )
+    # hs referenced 3x below -> the projection survives CollapseProject
+    mins = F.transform(
+        F.sequence(F.lit(0), F.size("hs") - F.lit(_WIN_W)),
+        lambda s: F.array_min(F.slice(F.col("hs"), s + 1, F.lit(_WIN_W))),
+    )
+    with_fps = with_hashes.select(
+        "doc_id",
+        F.when(
+            F.col("hs").isNotNull(), F.array_sort(F.array_distinct(mins))
+        ).alias("fps"),
+    )
+    return with_fps.select(
+        "doc_id",
+        F.when(F.col("fps").isNotNull(), F.size("fps"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_fingerprints"),
+        F.when(
+            F.col("fps").isNotNull(),
+            F.md5(
+                F.array_join(
+                    F.transform("fps", lambda x: x.cast("string")), ","
+                )
+            ),
+        )
         .otherwise(F.lit(""))
         .alias("fingerprint_md5"),
     )
