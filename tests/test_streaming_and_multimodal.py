@@ -129,3 +129,55 @@ def test_streaming_dedup_suppresses_duplicates_across_restarts(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == 11  # 8 + only the 3 genuinely new texts
     assert final.select("content_hash").distinct().count() == 11
+
+
+def test_streaming_neardup_flags_pairs_across_restarts(spark, tmp_path):
+    """Streaming LSH: a new arrival pairs against every PRIOR member of
+    its band bucket, including members seen in an earlier run (state
+    survives restart); buckets stop emitting at the cap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coa_ocr_simple_spark.streaming.neardup_stream import run_streaming_neardup
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        pq.write_table(
+            pa.Table.from_pylist(
+                [
+                    {"doc_id": i, "text": t, "lang": "en", "source": "s",
+                     "n_chars": len(t)}
+                    for i, t in rows
+                ]
+            ),
+            str(inp / name),
+        )
+
+    dup = "identical payload text for streaming lsh " * 5
+    # run 1: docs 1,2 identical; 3 distinct
+    write_batch("b1.parquet", [(1, dup), (2, dup), (3, "totally different " * 10)])
+    run_streaming_neardup(spark, str(inp), out, ckpt, cap=5)
+    first = spark.read.parquet(out)
+    pairs1 = {(r["doc_a"], r["doc_b"]) for r in first.collect()}
+    assert pairs1 == {(1, 2)}  # all 8 band events collapse to one pair
+    assert first.count() == 8  # one event per agreeing band
+
+    # run 2 (restart): doc 4 duplicates -> pairs against BOTH 1 and 2
+    write_batch("b2.parquet", [(4, dup)])
+    run_streaming_neardup(spark, str(inp), out, ckpt, cap=5)
+    pairs2 = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out).collect()}
+    assert pairs2 == {(1, 2), (1, 4), (2, 4)}
+
+    # run 3: three more duplicates blow past cap=5 -> bucket stops emitting
+    write_batch("b3.parquet", [(5, dup), (6, dup), (7, dup)])
+    run_streaming_neardup(spark, str(inp), out, ckpt, cap=5)
+    final = spark.read.parquet(out)
+    docs_in_pairs = {d for r in final.collect() for d in (r["doc_a"], r["doc_b"])}
+    # with cap=5, ids [1,2,4,5,6] fill the bucket; doc 7 must emit nothing
+    assert 7 not in docs_in_pairs
+    n_pairs = final.select("doc_a", "doc_b").distinct().count()
+    assert n_pairs == 10  # C(5,2): every pair among the first five members
