@@ -368,6 +368,95 @@ WHERE dot > 0 AND 10000 * dot * dot > 1600 * na * nb
 """
 
 
+# --- near-dup clustering (connected components over Jaccard pairs) ----------------------
+
+_CLUSTER_JACCARD_MIN = 80
+_MAX_CC_ITERS = 25  # diameter bound; components here are tiny, and at
+# corpus scale min-label propagation is swapped for hash-to-min (which
+# halves the diameter per round) — same loop shape, fewer iterations
+
+
+def neardup_clusters(docs: DataFrame) -> DataFrame:
+    """Connected components over the >= threshold Jaccard pairs: the
+    dedup FINAL step.  Dropping doc_b of every pair (the funnel's simple
+    rule) over-deletes chains (a~b, b~c deletes b and c even if a!~c);
+    clustering keeps exactly one representative (the min doc_id) per
+    component.  Iterative min-label propagation: each round every node
+    takes the min of its own label and its neighbors' labels; converges
+    in <= diameter rounds (checked with one count() action per round —
+    the only driver-side loop in the engine, standard for iterative
+    graph algorithms on DataFrames)."""
+    edges = (
+        ngram_jaccard_pairs(docs)
+        .where(F.col("jaccard_pct") >= _CLUSTER_JACCARD_MIN)
+        .select("doc_a", "doc_b")
+    )
+    both = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        both.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(_MAX_CC_ITERS):
+        neighbor_min = (
+            both.join(labels, both.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_clusters(_docs(spark, sf_dir))
+
+
+def _neardup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_ngram_jaccard_sql()})
+  WHERE jaccard_pct >= {_CLUSTER_JACCARD_MIN}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach AS (
+  SELECT DISTINCT src AS doc_id, src AS other FROM edges
+  UNION
+  SELECT r.doc_id, e.dst AS other
+  FROM reach r JOIN edges e ON r.other = e.src
+)
+SELECT doc_id, MIN(other) AS cluster_id
+FROM reach GROUP BY doc_id
+"""
+
+
 # --- the curation funnel (composition of the training-data ops) -------------------------
 
 _FUNNEL_JACCARD_MIN = 80  # near-dup drop threshold (percent)
@@ -449,6 +538,7 @@ SELECT (SELECT COUNT(*) FROM documents) AS n_total,
 
 QUERIES_DEDUP = {
     "curation_funnel": q_curation_funnel,
+    "neardup_clusters": q_neardup_clusters,
     "minhash_candidate_pairs": q_minhash_candidate_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -456,6 +546,7 @@ QUERIES_DEDUP = {
 
 ORACLES_DEDUP = {
     "curation_funnel": _curation_funnel_sql(),
+    "neardup_clusters": _neardup_clusters_sql(),
     "minhash_candidate_pairs": _minhash_pairs_sql(),
     "ngram_jaccard_pairs": _ngram_jaccard_sql(),
     "embedding_neardup": _embedding_neardup_sql(),
