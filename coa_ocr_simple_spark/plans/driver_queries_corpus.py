@@ -148,6 +148,85 @@ WHERE n_bands_agree >= {_MIN_BANDS_AGREE}
 """
 
 
+# --- corpus vocabulary + length-distribution dashboards ----------------------------------
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary health of the corpus: total token count, distinct
+    terms, and hapax legomena (terms occurring exactly once — the
+    OCR-garbage / typo signal).  One explode, one count, one row."""
+    docs = _docs(spark, sf_dir)
+    terms = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return terms.agg(
+        F.sum("n").cast("long").alias("n_tokens_total"),
+        F.count(F.lit(1)).alias("n_distinct_terms"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+    )
+
+
+_VOCAB_SQL = """
+WITH terms AS (
+  SELECT term, COUNT(*) AS n FROM (
+    SELECT unnest(regexp_split_to_array(lower(TRIM(text)), '\\s+')) AS term
+    FROM documents
+  ) WHERE term != ''
+  GROUP BY term
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_tokens_total,
+       COUNT(*) AS n_distinct_terms,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+FROM terms
+"""
+
+_QUANTILES = (50, 90, 99)
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete length percentiles (p50/p90/p99 of n_chars): the
+    value at rank ceil(q*n) under a deterministic (n_chars, doc_id)
+    ordering — no interpolation, no approx sketch, so both engines agree
+    bit-for-bit.  At corpus scale the same question is answered by
+    percentile_approx; this is the exact baseline it is validated
+    against."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    w = Window.orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "n_chars", F.row_number().over(w).alias("rk")
+    ).crossJoin(docs.agg(F.count(F.lit(1)).alias("n")))
+    picks = [
+        F.max(
+            F.when(F.col("rk") == F.ceil(F.col("n") * q / 100.0), F.col("n_chars"))
+        )
+        .cast("long")
+        .alias(f"p{q}_chars")
+        for q in _QUANTILES
+    ]
+    return ranked.agg(*picks)
+
+
+_QUANTILES_SQL = f"""
+WITH ranked AS (
+  SELECT n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM documents
+)
+SELECT {", ".join(
+    f"CAST(MAX(CASE WHEN rk = CEIL(n * {q} / 100.0) THEN n_chars END) AS BIGINT)"
+    f" AS p{q}_chars" for q in _QUANTILES)}
+FROM ranked
+"""
+
+
 # --- winnowing fingerprint (rolling-hash document fingerprinting) ------------------------
 
 _WIN_K = 8  # k-gram length
@@ -330,6 +409,8 @@ FROM marked WHERE kind = 1
 QUERIES_CORPUS = {
     "asof_last_view": q_asof_last_view,
     "winnow_fingerprint": q_winnow_fingerprint,
+    "vocab_stats": q_vocab_stats,
+    "length_quantiles": q_length_quantiles,
     "top_terms": q_top_terms,
     "redact_pii": q_redact_pii,
     "contamination_pairs": q_contamination_pairs,
@@ -338,6 +419,8 @@ QUERIES_CORPUS = {
 ORACLES_CORPUS = {
     "asof_last_view": _ASOF_SQL,
     "winnow_fingerprint": _winnow_sql(),
+    "vocab_stats": _VOCAB_SQL,
+    "length_quantiles": _QUANTILES_SQL,
     "top_terms": _TOP_TERMS_SQL,
     "redact_pii": _redact_sql(),
     "contamination_pairs": _contamination_sql(),

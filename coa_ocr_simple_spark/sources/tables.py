@@ -24,7 +24,20 @@ class TableIO:
     def __init__(self, spark: SparkSession):
         self.spark = spark
 
-    def read(self, identifier: str) -> DataFrame:
+    def read(self, identifier: str, schema=None) -> DataFrame:
+        """Parquet by default; ``.jsonl``/``.json`` paths read as JSON
+        Lines (the common raw-ingest format of a training-data pipeline).
+        Pass ``schema`` for JSON at scale — schema inference scans the
+        data once, which is fine for a sample and wrong for 100 TB."""
+        if identifier.endswith((".jsonl", ".json")):
+            # DROPMALFORMED: a corrupt line must neither kill a 10^12-doc
+            # job nor become a phantom all-null document (PERMISSIVE's
+            # default does the latter — caught by probe).  Real clusters
+            # wanting an audit trail add badRecordsPath instead.
+            reader = self.spark.read.option("mode", "DROPMALFORMED")
+            if schema is not None:
+                reader = reader.schema(schema)
+            return reader.json(identifier)
         if _is_path(identifier):
             return self.spark.read.parquet(identifier)
         return self.spark.read.table(identifier)
