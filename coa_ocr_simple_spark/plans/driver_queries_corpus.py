@@ -335,6 +335,47 @@ FROM mins
 """
 
 
+# --- tumbling-window rollup ----------------------------------------------------------------
+
+_TUMBLE_MIN = 10
+
+
+def q_event_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event stream's batch view —
+    Spark's real ``F.window`` operator (the streaming-compatible
+    groupBy, distinct from the analytic windows in sessionize_events):
+    per 10-minute bucket and event_type, counts and integer value sums.
+    Window starts exposed as epoch seconds (BIGINT) so the hash compare
+    never touches timestamp formatting."""
+    ev = _read(spark, sf_dir, "events")
+    grouped = (
+        ev.groupBy(
+            F.window(F.col("ts"), f"{_TUMBLE_MIN} minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("value_sum_m"),
+        )
+    )
+    start_s = (
+        F.unix_micros(F.col("w.start").cast("timestamp_ltz")) / 1_000_000
+    ).cast("long")
+    return grouped.select(
+        start_s.alias("window_start_s"), "event_type", "n_events", "value_sum_m"
+    )
+
+
+_WINDOW_ROLLUP_SQL = f"""
+SELECT (epoch_us(ts) // {_TUMBLE_MIN * 60 * 1_000_000}) * {_TUMBLE_MIN * 60}
+         AS window_start_s,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS value_sum_m
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # --- as-of join --------------------------------------------------------------------------
 
 
@@ -408,6 +449,7 @@ FROM marked WHERE kind = 1
 
 QUERIES_CORPUS = {
     "asof_last_view": q_asof_last_view,
+    "event_window_rollup": q_event_window_rollup,
     "winnow_fingerprint": q_winnow_fingerprint,
     "vocab_stats": q_vocab_stats,
     "length_quantiles": q_length_quantiles,
@@ -418,6 +460,7 @@ QUERIES_CORPUS = {
 
 ORACLES_CORPUS = {
     "asof_last_view": _ASOF_SQL,
+    "event_window_rollup": _WINDOW_ROLLUP_SQL,
     "winnow_fingerprint": _winnow_sql(),
     "vocab_stats": _VOCAB_SQL,
     "length_quantiles": _QUANTILES_SQL,
