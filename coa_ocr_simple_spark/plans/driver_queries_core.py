@@ -46,7 +46,12 @@ from ..core.config import ModelConfig
 from ..core.entities import discover_fields, extract_entities
 from ..core.patterns import (
     CAS_GENERAL,
+    COA_APPEARANCE_PATTERNS,
+    COA_BATCH_PATTERNS,
+    COA_CAS_PATTERNS,
+    COA_DENSITY_PATTERNS,
     COA_PRODUCT_INFO_SECTION_PATTERNS,
+    COA_PURITY_PATTERNS,
     COA_RESULTS_SECTION_PATTERNS,
     COA_SPECS_SECTION_PATTERNS,
     COMMON_FIELDS,
@@ -54,13 +59,20 @@ from ..core.patterns import (
     DISCOVERY_TABLE_HEADERS,
     KEY_VALUE_TEST_PATTERN,
     KEY_VALUE_DISCOVERY_PATTERNS,
+    PRODUCT_NAME_PATTERNS,
     ROW_SPLIT,
+    SDS_EMERGENCY,
     SDS_HAZARD_CODES,
+    SDS_MANUFACTURER,
     SDS_SECTION_HEADING,
     TABLE_END_MARKERS,
     TABLE_HEADER,
     TDS_APPLICATIONS_SECTION,
+    TDS_DENSITY,
+    TDS_FLASH_POINT,
     TDS_PROPERTIES_SECTION,
+    TDS_STORAGE,
+    TDS_VISCOSITY,
 )
 from ..core.sections import extract_sections
 from ..core.tables import extract_test_results, rows_from_test_results
@@ -437,12 +449,11 @@ def q_discovered_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _discovered_keys_sql() -> str:
-    def kv_keys(pattern: str) -> str:
-        p = _sq(pattern)
-        norm = "replace(replace(lower({k}), ' ', '_'), '-', '_')"
-        key = norm.format(k=_trim_sql("g1[i]"))
-        return f"""
+def _kv_keys_sql(pattern: str) -> str:
+    p = _sq(pattern)
+    norm = "replace(replace(lower({k}), ' ', '_'), '-', '_')"
+    key = norm.format(k=_trim_sql("g1[i]"))
+    return f"""
   SELECT doc_id, {key} AS k
   FROM (
     SELECT doc_id, g1, g2, unnest(generate_series(1, len(g1))) AS i
@@ -456,20 +467,21 @@ def _discovered_keys_sql() -> str:
   WHERE len({_trim_sql('g2[i]')}) >= 2
 """
 
+
+def _discovery_ctes() -> str:
+    """kv/common/tblkey/all_keys CTE bodies reproducing discover_fields
+    (core/entities.py:143-184) over a ``gated`` CTE (the len>=50 gate).
+    Shared by ``discovered_keys`` and ``entity_counts``."""
     common = " UNION ALL ".join(
         f"SELECT doc_id, '{name}' AS k FROM gated WHERE {_any_match(bank)}"
         for name, bank in COMMON_FIELDS.items()
     )
     headers_any = _any_match(DISCOVERY_TABLE_HEADERS)
     stop = ", ".join(f"'{w}'" for w in sorted(DISCOVERY_STOPWORDS))
-    return f"""
-WITH synth AS ({_synth_sql()}),
-gated AS (
-  SELECT doc_id, text FROM synth WHERE text IS NOT NULL AND LENGTH(text) >= 50
-), kv AS (
-  {kv_keys(KEY_VALUE_DISCOVERY_PATTERNS[0])}
+    return f"""kv AS (
+  {_kv_keys_sql(KEY_VALUE_DISCOVERY_PATTERNS[0])}
   UNION ALL
-  {kv_keys(KEY_VALUE_DISCOVERY_PATTERNS[1])}
+  {_kv_keys_sql(KEY_VALUE_DISCOVERY_PATTERNS[1])}
 ), common AS (
   {common}
 ), tblkey AS (
@@ -482,7 +494,15 @@ gated AS (
     UNION ALL SELECT * FROM common
     UNION ALL SELECT * FROM tblkey
   )
-), agg AS (
+)"""
+
+
+def _discovered_keys_sql() -> str:
+    return f"""
+WITH synth AS ({_synth_sql()}),
+gated AS (
+  SELECT doc_id, text FROM synth WHERE text IS NOT NULL AND LENGTH(text) >= 50
+), {_discovery_ctes()}, agg AS (
   SELECT doc_id,
          CAST(COUNT(*) AS INTEGER) AS n_discovered,
          array_to_string(list_sort(list(k)), ',') AS discovered_keys
@@ -558,11 +578,146 @@ FROM synth d JOIN classified c USING (doc_id)
 """
 
 
+# --- A4/P6: full entity-merge key set + counts (round-3 verdict item 1) ------------------
+#
+# The round-2 extract_pipeline projection carried n_entities/n_test_results
+# as rows-only columns; this query gives those numbers a DIRECT oracle by
+# running the REAL classify -> extract_entities merge (product_name bank,
+# per-type banks, frozen-config discovery, setdefault merge = key-set
+# union) over the synthesized corpus and exposing the scalar key set —
+# exactly result_to_row's scalar_entities keys (core/convert.py:24-52) —
+# plus the recovered test-result row count.
+
+_ENTITY_COUNTS_SCHEMA = StructType(
+    [
+        StructField("doc_type", StringType()),
+        StructField("n_entities", IntegerType()),
+        StructField("entity_keys", StringType()),
+        StructField("n_test_results", IntegerType()),
+    ]
+)
+
+_NON_SCALAR_KEYS = ("hazard_codes", "cas_numbers", "test_results")
+
+
+@pandas_udf(_ENTITY_COUNTS_SCHEMA)
+def _entity_counts_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    for texts in batches:
+        rows = []
+        for t in texts:
+            t = t or ""
+            doc_type, _ = classify(t)
+            ents = extract_entities(t, doc_type, _DEFAULT_CONFIG)
+            tr = ents.get("test_results")
+            n_tr = len(rows_from_test_results(tr)) if isinstance(tr, dict) else 0
+            scalars = sorted(k for k in ents if k not in _NON_SCALAR_KEYS)
+            rows.append(
+                {
+                    "doc_type": doc_type,
+                    "n_entities": len(scalars),
+                    "entity_keys": ",".join(scalars),
+                    "n_test_results": n_tr,
+                }
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_type", "n_entities", "entity_keys", "n_test_results"]
+        )
+
+
+def q_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar entity key set + test-result row count through the REAL
+    classify -> extract_entities -> result_to_row path (ai:386-555,
+    712-787, 1217-1268) over the deterministic synthesized corpus."""
+    docs = _synth_docs(spark, sf_dir)
+    e = _entity_counts_udf(F.col("text"))
+    return docs.select(
+        "doc_id",
+        e["doc_type"].alias("doc_type"),
+        e["n_entities"].alias("n_entities"),
+        e["entity_keys"].alias("entity_keys"),
+        e["n_test_results"].alias("n_test_results"),
+    )
+
+
+def _first_match_truthy(bank: list[str]) -> str:
+    """SQL for ``bool(_first_match(text, bank))``: the FIRST matching
+    pattern's trimmed group(1) must be non-empty (a first pattern that
+    matches but strips empty blocks later banks — Python semantics)."""
+    cases = " ".join(
+        f"WHEN regexp_matches(text, '{_sq(p)}') "
+        f"THEN {_trim_sql(f'''regexp_extract(text, '{_sq(p)}', 1)''')}"
+        for p in bank
+    )
+    return f"COALESCE(CASE {cases} END, '') != ''"
+
+
+def _entity_counts_sql() -> str:
+    # key present iff the bank/pattern matched, mirroring each `if` in
+    # core/entities.py: truthy gate for product_name (entities.py:193-195),
+    # bare match for the per-type banks (`is not None` / `if m:`)
+    typed = [
+        ("product_name", None, _first_match_truthy(PRODUCT_NAME_PATTERNS)),
+        ("emergency_contact", "sds", f"regexp_matches(text, '{_sq(SDS_EMERGENCY)}')"),
+        ("manufacturer", "sds", f"regexp_matches(text, '{_sq(SDS_MANUFACTURER)}')"),
+        ("density", "tds", f"regexp_matches(text, '{_sq(TDS_DENSITY)}')"),
+        ("viscosity", "tds", f"regexp_matches(text, '{_sq(TDS_VISCOSITY)}')"),
+        ("flash_point", "tds", f"regexp_matches(text, '{_sq(TDS_FLASH_POINT)}')"),
+        ("storage_conditions", "tds", f"regexp_matches(text, '{_sq(TDS_STORAGE)}')"),
+        ("batch_number", "coa", _any_match(COA_BATCH_PATTERNS)),
+        ("lot_number", "coa", _any_match(COA_BATCH_PATTERNS)),
+        ("cas_number", "coa", _any_match(COA_CAS_PATTERNS)),
+        ("appearance", "coa", _any_match(COA_APPEARANCE_PATTERNS)),
+        ("density", "coa", _any_match(COA_DENSITY_PATTERNS)),
+        ("purity", "coa", _any_match(COA_PURITY_PATTERNS)),
+    ]
+    typed_sql = " UNION ALL ".join(
+        f"SELECT doc_id, '{key}' AS k FROM j WHERE "
+        + (f"doc_type = '{dt}' AND ({cond})" if dt else f"({cond})")
+        for key, dt, cond in typed
+    )
+    non_scalar = ", ".join(f"'{k}'" for k in _NON_SCALAR_KEYS)
+    return f"""
+WITH synth AS ({_synth_sql()}),
+classified AS ({_classify_oracle_sql("synth")}),
+j AS (
+  SELECT d.doc_id, d.text, c.doc_type
+  FROM synth d JOIN classified c USING (doc_id)
+),
+gated AS (
+  SELECT doc_id, text FROM synth WHERE text IS NOT NULL AND LENGTH(text) >= 50
+), {_discovery_ctes()},
+scalar_keys AS (
+  SELECT DISTINCT doc_id, k FROM (
+    {typed_sql}
+    UNION ALL
+    SELECT doc_id, k FROM all_keys WHERE k NOT IN ({non_scalar})
+  )
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS INTEGER) AS n_entities,
+         array_to_string(list_sort(list(k)), ',') AS entity_keys
+  FROM scalar_keys GROUP BY doc_id
+),
+trc AS (
+  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_rows
+  FROM ({_table_rows_sql()}) GROUP BY doc_id
+)
+SELECT j.doc_id, j.doc_type,
+       COALESCE(a.n_entities, 0) AS n_entities,
+       COALESCE(a.entity_keys, '') AS entity_keys,
+       CASE WHEN j.doc_type = 'coa' OR j.doc_id IN (SELECT doc_id FROM tblkey)
+            THEN COALESCE(t.n_rows, 0) ELSE 0 END AS n_test_results
+FROM j LEFT JOIN agg a USING (doc_id) LEFT JOIN trc t USING (doc_id)
+"""
+
+
 QUERIES_CORE = {
     "table_parse_rows": q_table_parse_rows,
     "section_names": q_section_names,
     "discovered_keys": q_discovered_keys,
     "sds_entity_arrays": q_sds_entity_arrays,
+    "entity_counts": q_entity_counts,
 }
 
 ORACLES_CORE = {
@@ -570,4 +725,5 @@ ORACLES_CORE = {
     "section_names": _section_names_sql(),
     "discovered_keys": _discovered_keys_sql(),
     "sds_entity_arrays": _sds_arrays_sql(),
+    "entity_counts": _entity_counts_sql(),
 }

@@ -188,23 +188,70 @@ FROM terms
 _QUANTILES = (50, 90, 99)
 
 
+_QUANTILE_BUCKET_W = 4096  # value-domain bucket width for cross-bucket offsets
+
+
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete length percentiles (p50/p90/p99 of n_chars): the
-    value at rank ceil(q*n) under a deterministic (n_chars, doc_id)
-    ordering — no interpolation, no approx sketch, so both engines agree
-    bit-for-bit.  At corpus scale the same question is answered by
-    percentile_approx; this is the exact baseline it is validated
-    against."""
+    value at rank ceil(q*n) — no interpolation, no approx sketch, so both
+    engines agree bit-for-bit.
+
+    Distributed exact rank (round-2 verdict item 2 — the former
+    ``Window.orderBy`` with no partitionBy forced the whole corpus onto
+    one partition).  Fully parallel plan:
+
+      1. histogram: groupBy(n_chars) -> cnt            (one shuffle, D rows)
+      2. cross-bucket offsets: value-domain buckets of width 4096; offset
+         for bucket b = sum of counts in buckets < b, via a small
+         bucket-totals self-join (B^2 pairs where B is bounded by
+         max_doc_len/4096 — value-domain bounded, NOT corpus bounded, so
+         it stays trivial at 10^12 docs)
+      3. within-bucket cumulative counts: a Window PARTITIONED by bucket
+         (parallel; never a global sort)
+      4. rank-owning value: the unique n_chars whose (cum_lo, cum_hi]
+         interval contains rank r = ceil(n*q/100)
+
+    The rank-r value under the original (n_chars, doc_id) row ordering
+    depends only on the n_chars ordering — ties share the same value — so
+    the histogram formulation is exactly equivalent.
+    """
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
-    w = Window.orderBy("n_chars", "doc_id")
-    ranked = docs.select(
-        "n_chars", F.row_number().over(w).alias("rk")
-    ).crossJoin(docs.agg(F.count(F.lit(1)).alias("n")))
+    hist = (
+        _docs(spark, sf_dir)
+        .groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bucket", F.floor(F.col("n_chars") / _QUANTILE_BUCKET_W))
+    )
+    bt = hist.groupBy("bucket").agg(F.sum("cnt").alias("bcnt"))
+    boff = (
+        bt.alias("a")
+        .join(bt.alias("b"), F.col("b.bucket") < F.col("a.bucket"), "left")
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum(F.col("b.bcnt")), F.lit(0)).alias("off"))
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        hist.join(F.broadcast(boff), "bucket")
+        .select(
+            "n_chars",
+            "cnt",
+            (F.col("off") + F.sum("cnt").over(w)).alias("cum_hi"),
+        )
+        .withColumn("cum_lo", F.col("cum_hi") - F.col("cnt"))
+    )
+    ranked = cum.crossJoin(F.broadcast(cum.agg(F.max("cum_hi").alias("n"))))
     picks = [
         F.max(
-            F.when(F.col("rk") == F.ceil(F.col("n") * q / 100.0), F.col("n_chars"))
+            F.when(
+                (F.ceil(F.col("n") * q / 100.0) > F.col("cum_lo"))
+                & (F.ceil(F.col("n") * q / 100.0) <= F.col("cum_hi")),
+                F.col("n_chars"),
+            )
         )
         .cast("long")
         .alias(f"p{q}_chars")

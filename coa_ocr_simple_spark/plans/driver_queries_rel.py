@@ -1,11 +1,17 @@
 """Wave-4 driver queries: relational breadth + the flagship pipeline.
 
 - ``extract_pipeline``: the full interleaved-span extraction pipeline over
-  a spans-ified documents table — not SQL-expressible (vectorized regex
-  banks, discovery, table recovery), so the driver records the weaker
-  rows-only check; the strong invariant (span-sequence + entity equality
-  vs the single-node oracle AND vs a live run of the reference) is
-  enforced by pytest instead.
+  a spans-ified documents table, verified end-to-end by a real DuckDB
+  oracle (round-2 verdict item 1): the oracle reassembles each document's
+  text from the deterministic spansification — pdf docs get the reference's
+  OCR page headers (app.py:425/803 semantics, core/decode.py) over the two
+  text halves, image/text docs pass through — then reapplies the proven
+  classify / fingerprint SQL formulations over that reassembled text.
+  The entities/test_results maps stay out of this projection (Python regex
+  discovery + dict-merge semantics, not SQL-expressible over arbitrary
+  prose); they are driver-checked by ``entity_counts`` over the synthesized
+  corpus (driver_queries_core) and pinned span-for-span by the live-
+  reference parity pytest.
 - ``regional_revenue``: TPC-H Q5-shaped 5-way join + rollup, decimal-exact.
 - ``event_props_extract``: JSON column extraction (get_json_object /
   json_extract) with integer outputs.
@@ -23,7 +29,7 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-# --- flagship pipeline (rows-only; see module docstring) ---------------------------
+# --- flagship pipeline (oracle-checked; see module docstring) ------------------------
 
 
 def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,9 +47,57 @@ def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("confidence") * 100).cast("long").alias("confidence_pct"),
         "n_spans",
         "fingerprint",
-        F.size("entities").cast("long").alias("n_entities"),
-        F.size("test_results").cast("long").alias("n_test_results"),
     )
+
+
+def _extract_pipeline_oracle_sql() -> str:
+    """DuckDB oracle for the full pipeline's SQL-expressible projection.
+
+    Mirrors, in order: ``__spark_entry__._spansify`` (doc_id % 10 == 0 ->
+    2-page scanned pdf over the text halves, % 10 == 5 -> image whose OCR
+    is the full text, else a single text span), the decode semantics of
+    core/decode.py (pdf: empty direct text layer -> OCR path, page header
+    ``--- Page {n} ---\\n`` + page + ``\\n\\n`` per app.py:425/803; image:
+    ocr_pages[0]), the SPAN_JOIN reassembly (one span -> identity), then
+    the proven classify + fingerprint SQL over the reassembled text.
+    LENGTH//2 reproduces Spark's ``(length/2).cast("int")`` truncation.
+    """
+    from .driver_queries import _classify_oracle_sql
+
+    page = (
+        "'--- Page 1 ---' || chr(10) || substring(text, 1, LENGTH(text) // 2)"
+        " || chr(10) || chr(10) || "
+        "'--- Page 2 ---' || chr(10) ||"
+        " substring(text, (LENGTH(text) // 2) + 1, LENGTH(text))"
+        " || chr(10) || chr(10)"
+    )
+    return f"""
+WITH assembled AS (
+  SELECT 'doc-' || printf('%08d', doc_id) AS doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN {page} ELSE text END AS text
+  FROM documents
+),
+classified AS ({_classify_oracle_sql("assembled")}),
+fp AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR text = '' THEN '' ELSE
+      array_to_string(
+        list_transform(
+          list_filter(string_split(text, chr(10)), l -> LENGTH(TRIM(l)) > 0)[1:20],
+          l -> substring(TRIM(l), 1, 2)),
+        '') || '_L' || CAST(LENGTH(text) // 100 AS VARCHAR)
+    END AS fingerprint
+  FROM assembled
+)
+SELECT a.doc_id AS doc_id,
+       c.doc_type AS doc_type,
+       CAST(c.confidence_pct AS BIGINT) AS confidence_pct,
+       CAST(1 AS INTEGER) AS n_spans,
+       f.fingerprint AS fingerprint
+FROM assembled a
+JOIN classified c USING (doc_id)
+JOIN fp f USING (doc_id)
+"""
 
 
 # --- TPC-H Q5-shaped multi-join ------------------------------------------------------
@@ -170,7 +224,7 @@ QUERIES_REL = {
 }
 
 ORACLES_REL = {
-    # extract_pipeline intentionally absent -> driver rows-only check
+    "extract_pipeline": _extract_pipeline_oracle_sql(),
     "regional_revenue": _REGIONAL_REVENUE_SQL,
     "event_props": _EVENT_PROPS_SQL,
     "order_priority_counts": _ORDER_PRIORITY_SQL,

@@ -45,7 +45,9 @@ def test_oracles_parse_and_run():
 
 
 def test_every_query_has_oracle_or_documented_reason():
+    # round 3: zero rows-only entries — extract_pipeline gained a real
+    # partial-column oracle (reassembled-text CTE + proven classify/
+    # fingerprint SQL) and the entities-map columns moved to the fully
+    # oracled entity_counts query over the synthesized corpus
     missing = set(entrymod.queries()) - set(entrymod.oracle_sql())
-    # extract_pipeline is the only rows-only entry (not SQL-expressible;
-    # covered by pytest span-equality parity instead)
-    assert missing == {"extract_pipeline"}
+    assert missing == set()

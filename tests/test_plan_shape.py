@@ -76,6 +76,28 @@ def test_dedup_pair_plans_never_cartesian_and_scan_once(spark):
     spark.catalog.clearCache()
 
 
+def test_no_global_window_in_length_quantiles(spark):
+    """Round-2 verdict item 2: the exact-quantile query must never plan a
+    partition-less Window (a single-executor global sort at scale).  Every
+    Window node in the physical plan must carry a partitionBy spec — and
+    so must every other registered query's plan."""
+    from coa_ocr_simple_spark.plans.driver_queries_corpus import q_length_quantiles
+
+    df = q_length_quantiles(spark, "/root/testdata/sf0.001")
+    s = df._jdf.queryExecution().executedPlan().toString()
+    for line in s.splitlines():
+        if "windowspecdefinition(" not in line:
+            continue
+        # a partitioned window prints windowspecdefinition(<partcols>,
+        # <ordercol> ASC ...); partition-less ones start straight at the
+        # order column — i.e. the spec's second element is the frame
+        spec = line.split("windowspecdefinition(", 1)[1]
+        first_arg = spec.split(",", 1)[0]
+        # the first arg must be a partition column, not an "x ASC/DESC"
+        # ordering expression (which is what a global window starts with)
+        assert " ASC" not in first_arg and " DESC" not in first_arg, line
+
+
 def test_fused_plan_shape(spark, parity_corpus):
     docs = spark.read.parquet(parity_corpus["docs_path"])
     media = spark.read.parquet(parity_corpus["media_path"])
