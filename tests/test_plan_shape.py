@@ -58,14 +58,14 @@ def test_dedup_pair_plans_never_cartesian_and_scan_once(spark):
     pairs = q_minhash_candidate_pairs(spark, sf_dir)
     s = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s, s
-    # bands are persisted and feed BOTH passes of count-first bucket
-    # filtering: the md5-shingle transform runs once (cache fill), every
-    # consumer reads InMemoryTableScan
+    # bands are persisted and feed the size pass + both pair-join sides:
+    # the md5-shingle transform runs once (cache fill), every consumer
+    # reads InMemoryTableScan
     assert s.count("InMemoryTableScan") >= 2, s
-    # mega-buckets are excluded BEFORE any id list materializes: the
-    # semi-join is a CHILD of the collect_list aggregate (plans print
-    # parent-first, so the aggregate's index precedes the join's)
-    assert s.index("collect_list") < s.index("LeftSemi"), s
+    # mega-buckets are excluded BEFORE the pair join (the semi-join
+    # against the size-filtered bucket list feeds the equi-join sides)
+    assert "LeftSemi" in s, s
+    assert "collect_list" not in s, s
 
     near = q_embedding_neardup(spark, sf_dir)
     s2 = near._jdf.queryExecution().executedPlan().toString()
