@@ -39,13 +39,36 @@ def tenant_config_path(config_dir: str, tenant: str) -> str:
     return os.path.join(config_dir, f"{tenant}_model_config.json")
 
 
-def load_tenant_configs(config_dir: str, tenants: list[str]) -> dict[str, ModelConfig]:
-    """Missing file -> EMPTY_CONFIG, mirroring the reference's fresh
-    default processor for an unseen tenant."""
+def load_tenant_configs(
+    config_dir: str,
+    tenants: list[str],
+    default: ModelConfig = EMPTY_CONFIG,
+) -> dict[str, ModelConfig]:
+    """Missing file -> ``default``, mirroring the reference's fresh
+    default processor for an unseen tenant — but never SILENTLY (round-2
+    advice): a typo'd tenant id or wrong --config-dir must not quietly
+    degrade a 10^12-doc run to empty-config extraction, so each missing
+    file is named on stderr (the reference at least logs 'No saved model
+    state found', app.py:272-276), and an explicitly passed --config
+    survives as the fallback instead of being discarded."""
+    import sys
+
     out = {}
     for tenant in tenants:
         path = tenant_config_path(config_dir, tenant)
-        out[tenant] = ModelConfig.load(path) if os.path.exists(path) else EMPTY_CONFIG
+        if os.path.exists(path):
+            out[tenant] = ModelConfig.load(path)
+        else:
+            print(
+                f"warning: no config for tenant {tenant!r} at {path}; "
+                + (
+                    "falling back to the --config model"
+                    if default is not EMPTY_CONFIG
+                    else "falling back to the empty default config"
+                ),
+                file=sys.stderr,
+            )
+            out[tenant] = default
     return out
 
 
@@ -94,8 +117,11 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         )
     if len(tenants) == 1 and args.tenant_column not in docs.columns:
         # single-tenant invocation (the reference's one-request-one-tenant
-        # shape): that tenant's config applies to the whole input
-        config = load_tenant_configs(args.config_dir or ".", tenants)[tenants[0]]
+        # shape): that tenant's config applies to the whole input; an
+        # explicit --config is the fallback when the tenant file is absent
+        config = load_tenant_configs(args.config_dir or ".", tenants, default=config)[
+            tenants[0]
+        ]
 
     options = ExtractOptions(
         config=config,
@@ -108,7 +134,9 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         results = build_multi_tenant_plan(
             docs,
             media,
-            tenant_configs=load_tenant_configs(args.config_dir or ".", tenants),
+            tenant_configs=load_tenant_configs(
+                args.config_dir or ".", tenants, default=config
+            ),
             options=options,
             done=done,
             tenant_column=args.tenant_column,

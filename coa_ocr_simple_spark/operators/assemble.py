@@ -42,12 +42,17 @@ from ..functions.udfs import make_decode_media_udf, make_strip_html_udf
 MEDIA_KINDS = ("pdf", "image")
 
 
-def explode_spans(docs: DataFrame) -> DataFrame:
-    """documents -> one row per span (zero-span docs kept with null span)."""
+def explode_spans(docs: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """documents -> one row per span (zero-span docs kept with null span).
+
+    ``passthrough`` columns (e.g. a tenant id) ride along on every span
+    row so downstream regrouping can re-emit them without a join back to
+    the source."""
     return docs.select(
-        "doc_id", F.posexplode_outer("spans").alias("pos", "span")
+        "doc_id", *passthrough, F.posexplode_outer("spans").alias("pos", "span")
     ).select(
         "doc_id",
+        *passthrough,
         F.col("span.kind").alias("kind"),
         F.col("span.text").alias("text"),
         F.col("span.media_ref").alias("media_ref"),
@@ -61,6 +66,7 @@ def decode_spans(
     *,
     spread_partitions: int | None = None,
     broadcast_media: bool | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Resolve media refs and decode every span to text.
 
@@ -70,12 +76,13 @@ def decode_spans(
     media spans so a fat document's decode cost is distributed.
     """
     strip_html_udf = make_strip_html_udf()
-    out_cols = ["doc_id", "kind", "media_ref", "offset", "decoded"]
+    out_cols = ["doc_id", *passthrough, "kind", "media_ref", "offset", "decoded"]
 
     text_branch = spans.where(
         F.col("kind").isNull() | ~F.col("kind").isin(*MEDIA_KINDS)
     ).select(
         "doc_id",
+        *passthrough,
         "kind",
         "media_ref",
         "offset",
@@ -112,6 +119,7 @@ def decode_spans(
     decode_media_udf = make_decode_media_udf()
     media_branch = media_branch.select(
         "doc_id",
+        *passthrough,
         "kind",
         "media_ref",
         "offset",
@@ -122,7 +130,9 @@ def decode_spans(
     return text_branch.select(*out_cols).unionByName(media_branch.select(*out_cols))
 
 
-def reassemble_documents(decoded: DataFrame) -> DataFrame:
+def reassemble_documents(
+    decoded: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Regroup decoded spans per document: ordered out_spans + joined text.
 
     Single pass: zero-span docs arrive as one null-kind row; the
@@ -143,7 +153,8 @@ def reassemble_documents(decoded: DataFrame) -> DataFrame:
         ),
     )
     grouped = decoded.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(entry)).alias("ordered")
+        F.array_sort(F.collect_list(entry)).alias("ordered"),
+        *[F.first(c, ignorenulls=False).alias(c) for c in passthrough],
     )
 
     out_spans = F.transform(
@@ -158,6 +169,7 @@ def reassemble_documents(decoded: DataFrame) -> DataFrame:
     text = F.array_join(F.transform(F.col("ordered"), lambda s: s["text"]), SPAN_JOIN)
     return grouped.select(
         "doc_id",
+        *passthrough,
         out_spans.alias("out_spans"),
         text.alias("text"),
         F.size("ordered").alias("n_spans"),

@@ -137,9 +137,13 @@ def deliver_payloads(
     """(doc_id, payload_json) -> (doc_id, status, ok) delivery report.
 
     One transport per partition (one token fetch, not one per doc);
-    Arrow-batched via mapInPandas.  The report is lazy like any
-    DataFrame — the caller writes it (or joins it back for retries),
-    which is what actually drives delivery."""
+    Arrow-batched via mapInPandas.  The report is a LAZY side-effecting
+    plan: each evaluation of it re-POSTs every payload.  Contract for
+    at-least-once delivery (round-2 advice): the caller must trigger it
+    EXACTLY ONCE — write it to the report table (or persist it) first,
+    and drive any retry anti-join from that materialized report, never
+    from this live DataFrame.  Consuming the returned frame twice (e.g.
+    write + a second join against it) silently doubles every POST."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

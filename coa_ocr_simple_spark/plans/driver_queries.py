@@ -62,11 +62,14 @@ def _spread(df: DataFrame, path: str) -> DataFrame:
 
     try:
         if os.path.isdir(path):
-            total = sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
-                if not f.startswith((".", "_"))
-            )
+            # a hive-partitioned layout (subdirectories) is a real table,
+            # not a tiny test file: treat it as large and never repartition
+            # (round-2 advice — a non-recursive sum would stat it as tiny
+            # and shuffle the whole table, inverting the guard's purpose)
+            entries = [e for e in os.scandir(path) if not e.name.startswith((".", "_"))]
+            if any(e.is_dir() for e in entries):
+                return df
+            total = sum(e.stat().st_size for e in entries)
         else:
             total = os.path.getsize(path)
     except OSError:

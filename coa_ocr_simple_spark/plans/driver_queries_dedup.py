@@ -29,6 +29,15 @@ candidates.  Two scale hazards are handled explicitly:
    mega-bucket is boilerplate collision: a single band agreement there is
    noise, and genuinely similar pairs still surface through their other
    bands (we require >= _MIN_BANDS_AGREE anyway).
+
+Cache lifetime contract: the persist() calls here (bands, gram sets,
+survivor sets, quantized embeddings) are INTERNAL to each returned plan
+and fill lazily when the caller executes it — they cannot be unpersisted
+inside the query builder without defeating their purpose.  Long-lived
+sessions running many queries must call ``spark.catalog.clearCache()``
+between queries (bench.py and scripts/check_oracles.py sessions do;
+``connected_components`` — whose loop executes eagerly at build time —
+cleans up after itself).
 """
 
 from __future__ import annotations

@@ -40,6 +40,9 @@ class ExtractOptions:
     # one text span (the dominant web-corpus shape) skip explode + groupBy
     # entirely — their bytes never shuffle; only multi-span/media docs take
     # the wide path
+    passthrough_columns: tuple[str, ...] = ()  # input columns re-emitted
+    # verbatim on every result row (constant per doc_id, e.g. a tenant
+    # id) — carried through the plan, never re-joined
 
 
 def build_extract_plan(
@@ -63,10 +66,12 @@ def build_extract_plan(
         simple = todo.where(is_simple)
         complex_docs = todo.where(~F.coalesce(is_simple, F.lit(False)))
         fast = _fastpath_plan(simple, options)
-        wide = _fused_plan(explode_spans(complex_docs), media, options)
+        wide = _fused_plan(
+            explode_spans(complex_docs, options.passthrough_columns), media, options
+        )
         return fast.unionByName(wide)
 
-    spans = explode_spans(todo)
+    spans = explode_spans(todo, options.passthrough_columns)
 
     if options.fused:
         return _fused_plan(spans, media, options)
@@ -76,14 +81,16 @@ def build_extract_plan(
         media,
         spread_partitions=options.spread_partitions,
         broadcast_media=options.broadcast_media,
+        passthrough=options.passthrough_columns,
     )
-    assembled = reassemble_documents(decoded)
+    assembled = reassemble_documents(decoded, passthrough=options.passthrough_columns)
 
     extract = make_extractor_udf(options.config.to_json())
     extracted = assembled.withColumn("result", extract(F.col("text")))
 
     columns = [
         "doc_id",
+        *options.passthrough_columns,
         "out_spans",
         F.col("result.doc_type").alias("doc_type"),
         F.col("result.confidence").alias("confidence"),
@@ -136,11 +143,14 @@ def build_multi_tenant_plan(
         )
     rest = docs.where(
         ~F.coalesce(F.col(tenant_column).isin(*known), F.lit(False))
-    )
+    ).withColumnRenamed(tenant_column, "_tenant_id")
+    # the unknown-tenant id rides through the subplan as a passthrough
+    # column (round-2 verdict item 7) — no join back, one fewer Exchange
     default_branch = build_extract_plan(
-        rest.drop(tenant_column), media, options=options, done=done
-    ).join(
-        rest.select("doc_id", F.col(tenant_column).alias("_tenant_id")), "doc_id"
+        rest,
+        media,
+        options=replace(options, passthrough_columns=("_tenant_id",)),
+        done=done,
     )
     plans.append(default_branch)
     out = plans[0]
@@ -169,7 +179,9 @@ def _fastpath_plan(simple_docs: DataFrame, options: ExtractOptions):
     )
     fused = make_fused_extractor_udf(options.config.to_json())
     result = simple_docs.select(
-        "doc_id", fused(raw_spans.alias("raw_spans")).alias("r")
+        "doc_id",
+        *options.passthrough_columns,
+        fused(raw_spans.alias("raw_spans")).alias("r"),
     )
     return with_lineage(result.select(*_RESULT_COLUMNS(options)), options.run_id)
 
@@ -177,6 +189,7 @@ def _fastpath_plan(simple_docs: DataFrame, options: ExtractOptions):
 def _RESULT_COLUMNS(options: ExtractOptions):
     columns = [
         "doc_id",
+        *options.passthrough_columns,
         F.col("r.out_spans").alias("out_spans"),
         F.col("r.doc_type").alias("doc_type"),
         F.col("r.confidence").alias("confidence"),
@@ -200,10 +213,12 @@ def _fused_plan(spans: DataFrame, media: DataFrame | None, options: ExtractOptio
     from ..functions.udfs import make_fused_extractor_udf
     from ..operators.assemble import MEDIA_KINDS
 
+    pt = options.passthrough_columns
     text_branch = spans.where(
         F.col("kind").isNull() | ~F.col("kind").isin(*MEDIA_KINDS)
     ).select(
         "doc_id",
+        *pt,
         "kind",
         "text",
         "media_ref",
@@ -224,7 +239,7 @@ def _fused_plan(spans: DataFrame, media: DataFrame | None, options: ExtractOptio
             "pages", F.lit(None).cast("array<string>")
         ).withColumn("ocr_pages", F.lit(None).cast("array<string>"))
     media_branch = media_branch.select(
-        "doc_id", "kind", F.lit(None).cast("string").alias("text"),
+        "doc_id", *pt, "kind", F.lit(None).cast("string").alias("text"),
         "media_ref", "offset", "pages", "ocr_pages",
     )
     unioned = text_branch.unionByName(media_branch)
@@ -233,10 +248,13 @@ def _fused_plan(spans: DataFrame, media: DataFrame | None, options: ExtractOptio
         F.col("kind").isNotNull(),
         F.struct("offset", "kind", "text", "media_ref", "pages", "ocr_pages"),
     )
+    # passthrough columns are constant per doc_id: first() re-emits them
+    # from the same wide shuffle — no join back to the source
     grouped = unioned.groupBy("doc_id").agg(
-        F.collect_list(entry).alias("raw_spans")
+        F.collect_list(entry).alias("raw_spans"),
+        *[F.first(c, ignorenulls=False).alias(c) for c in pt],
     )
 
     fused = make_fused_extractor_udf(options.config.to_json())
-    result = grouped.select("doc_id", fused(F.col("raw_spans")).alias("r"))
+    result = grouped.select("doc_id", *pt, fused(F.col("raw_spans")).alias("r"))
     return with_lineage(result.select(*_RESULT_COLUMNS(options)), options.run_id)

@@ -66,6 +66,9 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # several queries persist() shared subtrees internally; drop those
+        # blocks between queries (same contract as bench.py)
+        spark.catalog.clearCache()
         spark_df = fn(spark, sf_dir).toPandas()
         if name not in oracles:
             print(f"[rows-only] {name}: {len(spark_df)} rows")

@@ -143,3 +143,25 @@ def test_single_tenant_without_tenant_column(spark, tmp_path):
     )
     (row,) = spark.read.parquet(out).collect()
     assert row["entities"]["ph_value"] == "6.8"
+
+
+def test_default_branch_carries_tenant_without_join_back(spark, tmp_path):
+    """Round-2 verdict item 7: the unknown-tenant branch must re-emit
+    _tenant_id as a passthrough column from its own subplan — zero Join
+    nodes anywhere in a media-less multi-tenant plan."""
+    from coa_ocr_simple_spark.plans.extract_plan import build_multi_tenant_plan
+
+    docs_path = _write_corpus(tmp_path, ["acme", "unknown-a", "unknown-b"])
+    docs = spark.read.parquet(docs_path)
+    plan = build_multi_tenant_plan(
+        docs,
+        None,
+        tenant_configs={
+            "acme": _tenant_config("ph_value", r"(?i)Acidity\s+index\s+([\d.]+)")
+        },
+    )
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in s, s
+    rows = plan.collect()
+    assert {r["_tenant_id"] for r in rows} == {"acme", "unknown-a", "unknown-b"}
+    assert len(rows) == 3
