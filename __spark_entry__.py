@@ -87,9 +87,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from coa_ocr_simple_spark.plans.driver_queries_corpus import QUERIES_CORPUS
     from coa_ocr_simple_spark.plans.driver_queries_dedup import QUERIES_DEDUP
     from coa_ocr_simple_spark.plans.driver_queries_ext import QUERIES_EXT
+    from coa_ocr_simple_spark.plans.driver_queries_quality import QUERIES_QUALITY
     from coa_ocr_simple_spark.plans.driver_queries_rel import QUERIES_REL
 
-    return {**QUERIES, **QUERIES_EXT, **QUERIES_DEDUP, **QUERIES_REL, **QUERIES_CORE, **QUERIES_CORPUS}
+    return {
+        **QUERIES,
+        **QUERIES_EXT,
+        **QUERIES_DEDUP,
+        **QUERIES_REL,
+        **QUERIES_CORE,
+        **QUERIES_CORPUS,
+        **QUERIES_QUALITY,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -98,6 +107,15 @@ def oracle_sql() -> dict[str, str]:
     from coa_ocr_simple_spark.plans.driver_queries_corpus import ORACLES_CORPUS
     from coa_ocr_simple_spark.plans.driver_queries_dedup import ORACLES_DEDUP
     from coa_ocr_simple_spark.plans.driver_queries_ext import ORACLES_EXT
+    from coa_ocr_simple_spark.plans.driver_queries_quality import ORACLES_QUALITY
     from coa_ocr_simple_spark.plans.driver_queries_rel import ORACLES_REL
 
-    return {**ORACLES, **ORACLES_EXT, **ORACLES_DEDUP, **ORACLES_REL, **ORACLES_CORE, **ORACLES_CORPUS}
+    return {
+        **ORACLES,
+        **ORACLES_EXT,
+        **ORACLES_DEDUP,
+        **ORACLES_REL,
+        **ORACLES_CORE,
+        **ORACLES_CORPUS,
+        **ORACLES_QUALITY,
+    }

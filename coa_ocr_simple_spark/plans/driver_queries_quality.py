@@ -1,0 +1,313 @@
+"""Wave-6 driver queries: corpus-quality + governance operators (round 3).
+
+Completes the training-data toolbox with four ops every large corpus
+build runs, each scale-shaped and DuckDB-oracled:
+
+- ``repetition_stats``     — Gopher-style repetition filters (Rae et al.
+  2021 §A1.1): duplicate-line fraction + most-frequent-word-bigram mass
+  per document.  Line stats are pure per-row array ops; the bigram mode
+  is explode -> count -> max (the only shape whose memory is bounded at
+  10^12 docs — an in-row frequency map would put the whole doc's bigram
+  set in one aggregation buffer).
+- ``gram_decontamination`` — exact 13-token-gram train/eval overlap (the
+  GPT-3 appendix-C decontamination rule; complements the fuzzy MinHash
+  ``contamination_pairs``): explode md5'd 13-grams, equi-join eval
+  grams against train grams, roll up per eval doc.  One shuffle on the
+  gram hash; at 100 TB the eval side is tiny and broadcastable.
+- ``source_quota_sample``  — deterministic per-source quota (cap each
+  domain/source at K docs, ordered by a content-independent md5 rank):
+  the anti-head-domain-bias sampler.  Partitioned window = parallel per
+  source; for a mega-source, pre-filter by hash prefix first so the
+  per-partition sort never sees more than ~K * safety rows.
+- ``edit_distance_pairs``  — character-level Levenshtein on the LSH
+  candidate pairs (never all-pairs): the byte-accurate near-dup score
+  for short documents where token Jaccard is too coarse.  Integer
+  distance + floor-percent, exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .driver_queries import _docs
+from .driver_queries_dedup import _MIN_BANDS_AGREE, minhash_candidate_pairs
+
+# --- Gopher-style repetition filters ------------------------------------------------------
+
+_DUP_LINE_PCT_MAX = 30  # Gopher: duplicate line fraction > 0.30 -> filter
+_TOP_BIGRAM_PCT_MAX = 18  # Gopher: top word-2gram fraction > 0.18 -> filter
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition signals + the composite filter verdict."""
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    line_stats = docs.select("doc_id", lines.alias("ls")).select(
+        "doc_id",
+        F.size("ls").cast("long").alias("n_lines"),
+        F.when(F.size("ls") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                (F.size("ls") - F.size(F.array_distinct("ls"))) * 100 / F.size("ls")
+            )
+        )
+        .alias("dup_line_pct"),
+    )
+
+    # tokens materialized in their own projection (>=2 downstream refs —
+    # the CollapseProject re-inline hazard documented for winnowing)
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("t") < 2, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.concat(
+                        F.element_at("t", i + 1), F.lit(" "), F.element_at("t", i + 2)
+                    ),
+                )
+            )
+        ).alias("bg"),
+    )
+    bg_stats = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("long").alias("top_bigram_count"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+        )
+    )
+    joined = line_stats.join(bg_stats, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        "dup_line_pct",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(
+            F.floor(F.col("top_bigram_count") * 100 / F.col("n_bigrams")), F.lit(0)
+        )
+        .cast("long")
+        .alias("top_bigram_pct"),
+    )
+    return joined.select(
+        "doc_id",
+        "n_lines",
+        "dup_line_pct",
+        "n_bigrams",
+        "top_bigram_pct",
+        (
+            (F.col("dup_line_pct") > _DUP_LINE_PCT_MAX)
+            | (F.col("top_bigram_pct") > _TOP_BIGRAM_PCT_MAX)
+        )
+        .cast("int")
+        .cast("long")
+        .alias("is_repetitive"),
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+_REPETITION_SQL = f"""
+WITH lines AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), l -> TRIM(l)),
+                     l -> l != '') AS ls
+  FROM documents
+), linestats AS (
+  SELECT doc_id, len(ls) AS n_lines,
+         CASE WHEN len(ls) = 0 THEN 0
+              ELSE CAST(FLOOR((len(ls) - len(list_distinct(ls))) * 100.0 / len(ls)) AS BIGINT)
+         END AS dup_line_pct
+  FROM lines
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(TRIM(text)), '\\s+') AS t FROM documents
+), bg AS (
+  SELECT doc_id, t[i + 1] || ' ' || t[i + 2] AS b
+  FROM toks, unnest(range(0, GREATEST(len(t) - 1, 0))) AS r(i)
+), bgcount AS (
+  SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+), bgstats AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams
+  FROM bgcount GROUP BY doc_id
+)
+SELECT l.doc_id, l.n_lines, l.dup_line_pct,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       COALESCE(CAST(FLOOR(s.top_bigram_count * 100.0 / s.n_bigrams) AS BIGINT), 0)
+         AS top_bigram_pct,
+       CAST(CASE WHEN l.dup_line_pct > {_DUP_LINE_PCT_MAX}
+                   OR COALESCE(CAST(FLOOR(s.top_bigram_count * 100.0 / s.n_bigrams) AS BIGINT), 0)
+                      > {_TOP_BIGRAM_PCT_MAX}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+FROM linestats l LEFT JOIN bgstats s USING (doc_id)
+"""
+
+
+# --- exact 13-gram train/eval decontamination ---------------------------------------------
+
+_DECON_N = 13  # GPT-3 appendix C: 13-token overlap => contaminated
+
+
+def _token_grams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g): md5 of each n-token window (space-joined, lowercased).
+
+    The hash replaces the gram text on the wire: 32 hex chars instead of
+    ~100 — the shuffle shrinks ~3x and the join key is fixed-width."""
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("t") - n, F.lit(-1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, n))),
+    )
+    return toks.where(F.size("t") >= n).select(
+        "doc_id", F.explode(grams).alias("g")
+    )
+
+
+def gram_decontamination(docs: DataFrame, n: int = _DECON_N) -> DataFrame:
+    """Eval docs (doc_id % 10 == 0) sharing any exact n-token gram with a
+    train doc, with the overlap mass: (eval_doc_id, n_overlap_grams,
+    n_train_docs)."""
+    grams = _token_grams(docs, n)
+    ev = grams.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "g"
+    )
+    tr = grams.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "g"
+    )
+    return (
+        ev.join(tr, "g")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_overlap_grams"),
+            F.countDistinct("train_doc_id").alias("n_train_docs"),
+        )
+    )
+
+
+def q_gram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gram_decontamination(_docs(spark, sf_dir))
+
+
+_DECON_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(TRIM(text)), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, md5(array_to_string(t[i + 1:i + {_DECON_N}], ' ')) AS g
+  FROM toks, unnest(range(0, GREATEST(len(t) - {_DECON_N} + 1, 0))) AS r(i)
+), ev AS (
+  SELECT doc_id AS eval_doc_id, g FROM grams WHERE doc_id % 10 = 0
+), tr AS (
+  SELECT doc_id AS train_doc_id, g FROM grams WHERE doc_id % 10 != 0
+)
+SELECT eval_doc_id,
+       COUNT(DISTINCT g) AS n_overlap_grams,
+       COUNT(DISTINCT train_doc_id) AS n_train_docs
+FROM ev JOIN tr USING (g)
+GROUP BY eval_doc_id
+"""
+
+
+# --- per-source quota sampling ------------------------------------------------------------
+
+_QUOTA_K = 15
+
+
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most K docs per source, ranked by a content-independent
+    deterministic hash (md5 of the doc_id) — reproducible across engines
+    and runs, no rand().  The window is PARTITIONED by source (parallel);
+    a mega-source at corpus scale gets a hash-prefix pre-filter first
+    (md5 LIKE '0%' keeps ~1/16) so no partition sorts more than ~16x the
+    quota — same two-step shape, same result distribution."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("sample_rank"))
+        .where(F.col("sample_rank") <= _QUOTA_K)
+        .withColumn("sample_rank", F.col("sample_rank").cast("long"))
+    )
+
+
+_QUOTA_SQL = f"""
+SELECT doc_id, source, sample_rank
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= {_QUOTA_K}
+"""
+
+
+# --- Levenshtein scoring of LSH candidates ------------------------------------------------
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-exact edit distance on the (hot-bucket-capped) MinHash
+    candidates: lev + floor-percent of the longer length.  The O(L^2)
+    dynamic program runs ONLY on LSH survivors — the standard
+    cheap-filter / expensive-verify split, same as ngram_jaccard."""
+    docs = _docs(spark, sf_dir)
+    candidates = minhash_candidate_pairs(docs).where(
+        F.col("n_bands_agree") >= _MIN_BANDS_AGREE
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    joined = candidates.join(a, "doc_a").join(b, "doc_b")
+    lev = F.levenshtein("ta", "tb")
+    longer = F.greatest(F.length("ta"), F.length("tb"), F.lit(1))
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        lev.cast("long").alias("lev"),
+        F.floor(lev * 100 / longer).cast("long").alias("lev_pct"),
+    )
+
+
+def _edit_distance_sql() -> str:
+    from .driver_queries_dedup import _minhash_pairs_sql
+
+    return f"""
+WITH cand AS (
+  SELECT doc_a, doc_b FROM ({_minhash_pairs_sql()})
+  WHERE n_bands_agree >= {_MIN_BANDS_AGREE}
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+       CAST(FLOOR(levenshtein(a.text, b.text) * 100.0 /
+            GREATEST(LENGTH(a.text), LENGTH(b.text), 1)) AS BIGINT) AS lev_pct
+FROM cand c
+JOIN documents a ON c.doc_a = a.doc_id
+JOIN documents b ON c.doc_b = b.doc_id
+"""
+
+
+QUERIES_QUALITY = {
+    "repetition_stats": q_repetition_stats,
+    "gram_decontamination": q_gram_decontamination,
+    "source_quota_sample": q_source_quota_sample,
+    "edit_distance_pairs": q_edit_distance_pairs,
+}
+
+ORACLES_QUALITY = {
+    "repetition_stats": _REPETITION_SQL,
+    "gram_decontamination": _DECON_SQL,
+    "source_quota_sample": _QUOTA_SQL,
+    "edit_distance_pairs": _edit_distance_sql(),
+}
