@@ -563,11 +563,12 @@ def curation_stages(docs: DataFrame, jaccard_min: int = _FUNNEL_JACCARD_MIN):
     exact_reps = dedup_exact(docs).select(
         F.col("representative_doc_id").alias("doc_id")
     )
+    # no distinct: the left-anti consumer is set-semantics already, and
+    # the dedup would cost one more shuffle of the loser ids
     neardup_losers = (
         ngram_jaccard_pairs(docs)
         .where(F.col("jaccard_pct") >= jaccard_min)
         .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
     )
     surviving_exact = quality.join(exact_reps, "doc_id", "left_semi").persist(
         StorageLevel.MEMORY_AND_DISK

@@ -27,6 +27,7 @@ build runs, each scale-shaped and DuckDB-oracled:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -298,11 +299,165 @@ JOIN documents b ON c.doc_b = b.doc_id
 """
 
 
+# --- distributed prefix sum + training-sequence packing -----------------------------------
+
+_PACK_BIN_TOKENS = 2048  # training sequence length
+_SCAN_W = 4096  # bucket fan-in per scan level
+_SCAN_BASE = 1024  # levels recurse until this many buckets remain
+
+
+def _int_prefix_offsets(rows: DataFrame, key: str, val: str) -> DataFrame:
+    """(key, off): sum of ``val`` over all rows with a strictly smaller
+    integer ``key`` — a distributed prefix sum (scan).
+
+    Hierarchical: each level buckets keys by //_SCAN_W and recurses on
+    the bucket totals until <= _SCAN_BASE buckets remain; cross-bucket
+    offsets at the top come from a bounded self-join (<= _SCAN_BASE^2
+    pairs), and every other level uses a window PARTITIONED by its
+    bucket — no global sort anywhere.  Depth is log_4096(N): 3 levels at
+    10^12 rows.  The per-level count() probes are plan-build actions
+    (like the CC loop); each level is persisted so the walk back down
+    reads cached totals.
+    """
+    from pyspark.sql import Window
+
+    levels = [
+        rows.select(F.col(key).alias("k"), F.col(val).alias("v")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    ]
+    while levels[-1].count() > _SCAN_BASE:
+        nxt = (
+            levels[-1]
+            .groupBy((F.col("k") / _SCAN_W).cast("long").alias("k"))
+            .agg(F.sum("v").alias("v"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        levels.append(nxt)
+
+    top = levels[-1]
+    off = (
+        top.alias("a")
+        .join(top.alias("b"), F.col("b.k") < F.col("a.k"), "left")
+        .groupBy(F.col("a.k").alias("k"))
+        .agg(F.coalesce(F.sum(F.col("b.v")), F.lit(0)).alias("off"))
+    )
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    for cur in reversed(levels[:-1]):
+        boff = off.select(F.col("k").alias("bkt"), F.col("off").alias("boff"))
+        off = (
+            cur.withColumn("bkt", (F.col("k") / _SCAN_W).cast("long"))
+            .join(boff, "bkt")
+            .select(
+                "k",
+                (F.coalesce(F.sum("v").over(w), F.lit(0)) + F.col("boff")).alias(
+                    "off"
+                ),
+            )
+        )
+    return off
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-sequence packing: documents in doc_id order
+    fill 2048-token bins back-to-back; each doc gets (bin_id, offset
+    within the packed stream).  The running token offset is a distributed
+    prefix sum (see _int_prefix_offsets) — the op every sample-packing /
+    global-indexing job needs and Spark has no built-in for."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    off = _int_prefix_offsets(toks, "doc_id", "n_tokens")
+    return (
+        toks.join(off.withColumnRenamed("k", "doc_id"), "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("off") / _PACK_BIN_TOKENS).cast("long").alias("bin_id"),
+            (F.col("off") % _PACK_BIN_TOKENS).cast("long").alias("bin_offset"),
+        )
+    )
+
+
+_PACKING_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(off // {_PACK_BIN_TOKENS} AS BIGINT) AS bin_id,
+       CAST(off % {_PACK_BIN_TOKENS} AS BIGINT) AS bin_offset
+FROM o
+"""
+
+
+# --- stratified (per-language) deterministic sampling -------------------------------------
+
+# keep-rate in sixteenths by language: the high-resource languages are
+# downsampled, the default keeps everything — the standard corpus
+# rebalancing knob, reproducible across engines (hash class, no rand())
+_STRATA_SIXTEENTHS = {"en": 16, "de": 8, "es": 4, "fr": 2, "zh": 1}
+_STRATA_DEFAULT = 16
+_HEXS = "0123456789abcdef"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic sampling: doc kept iff the first
+    md5(doc_id) hex digit falls below its language's keep-rate (k/16).
+    Pure filter — no shuffle at all; the summary rollup is one groupBy."""
+    docs = _docs(spark, sf_dir)
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(k))
+            for lang, k in sorted(_STRATA_SIXTEENTHS.items())
+        ],
+        F.lit(_STRATA_DEFAULT),
+    )
+    hex_class = F.instr(
+        F.lit(_HEXS), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    )
+    kept = docs.where(hex_class <= rate)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+def _stratified_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {k}" for lang, k in sorted(_STRATA_SIXTEENTHS.items())
+    )
+    return f"""
+SELECT lang, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+       MIN(doc_id) AS min_doc_id
+FROM documents
+WHERE instr('{_HEXS}', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+      <= CASE lang {whens} ELSE {_STRATA_DEFAULT} END
+GROUP BY lang
+"""
+
+
 QUERIES_QUALITY = {
     "repetition_stats": q_repetition_stats,
     "gram_decontamination": q_gram_decontamination,
     "source_quota_sample": q_source_quota_sample,
     "edit_distance_pairs": q_edit_distance_pairs,
+    "sequence_packing": q_sequence_packing,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES_QUALITY = {
@@ -310,4 +465,6 @@ ORACLES_QUALITY = {
     "gram_decontamination": _DECON_SQL,
     "source_quota_sample": _QUOTA_SQL,
     "edit_distance_pairs": _edit_distance_sql(),
+    "sequence_packing": _PACKING_SQL,
+    "stratified_sample": _stratified_sql(),
 }
