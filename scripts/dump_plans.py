@@ -76,6 +76,37 @@ def main() -> None:
         "the join; TakeOrderedAndProject for the top-k.",
     )
 
+    from coa_ocr_simple_spark.plans.driver_queries_corpus import q_length_quantiles
+    from coa_ocr_simple_spark.plans.driver_queries_dedup import (
+        q_minhash_candidate_pairs,
+    )
+    from coa_ocr_simple_spark.plans.driver_queries_quality import q_sequence_packing
+
+    cap(
+        "length_quantiles (distributed exact rank — round 3)",
+        q_length_quantiles(spark, "/root/testdata/sf0.001"),
+        "Exact p50/p90/p99 with NO partition-less window: n_chars histogram "
+        "-> bounded bucket-totals self-join for cross-bucket offsets -> "
+        "within-bucket cumsum via a Window PARTITIONED by bucket. Every "
+        "Window node carries a partition spec (guarded by "
+        "tests/test_plan_shape.py).",
+    )
+    cap(
+        "minhash_candidate_pairs (size-gated bucket self-join — round 3)",
+        q_minhash_candidate_pairs(spark, "/root/testdata/sf0.001"),
+        "Bands persisted (InMemoryTableScan feeds the size pass and both "
+        "join sides); mega-buckets dropped by the LeftSemi BEFORE the pair "
+        "equi-join; no CartesianProduct, no per-bucket id arrays.",
+    )
+    cap(
+        "sequence_packing (hierarchical distributed prefix sum — round 3)",
+        q_sequence_packing(spark, "/root/testdata/sf0.001"),
+        "Running token offsets via log_4096(N) scan levels: partitioned-"
+        "window cumsums per level, bounded top-level self-join, no global "
+        "sort anywhere; bin_id/bin_offset are pure arithmetic on the "
+        "offsets.",
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(HEADER + "\n".join(sections))
     spark.stop()
