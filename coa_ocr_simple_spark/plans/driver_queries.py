@@ -69,14 +69,24 @@ def _spread(df: DataFrame, path: str) -> DataFrame:
             entries = [e for e in os.scandir(path) if not e.name.startswith((".", "_"))]
             if any(e.is_dir() for e in entries):
                 return df
-            total = sum(e.stat().st_size for e in entries)
+            sizes = [e.stat().st_size for e in entries]
         else:
-            total = os.path.getsize(path)
+            sizes = [os.path.getsize(path)]
     except OSError:
         return df
-    one_split = 64 * 1024 * 1024  # half the default maxPartitionBytes
-    if total < one_split:
-        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    total = sum(sizes)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    # potential input splits: each file contributes ceil(size / split)
+    split_bytes = 128 * 1024 * 1024  # default maxPartitionBytes
+    splits = sum(max(1, -(-s // split_bytes)) for s in sizes)
+    # starved-scan guard (round 3): a table whose split count is below
+    # the core count serializes every CPU-heavy per-row expression onto
+    # those few cores (measured: a 150 MB / 10-file stress corpus ran
+    # the shingle transform on 10 of 32 cores — 3.2x slower).  Spread it
+    # when the one-off shuffle is cheap (< 256 MB); above that the scan
+    # is band-width-bound anyway and at real scale splits >> cores.
+    if splits < parallelism and total < 256 * 1024 * 1024:
+        return df.repartition(parallelism)
     return df
 
 
@@ -377,10 +387,53 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     are independent uniform orderings, so min-over-slice is a valid
     MinHash per band — and it is 8x cheaper than salting the digest per
     band).  Docs sharing a (band, signature) bucket are near-dup
-    candidates; identical texts agree on all bands.  At cluster scale the
-    follow-up is a groupBy((band, signature)) -> candidate pairs, a pure
-    shuffle whose fan-in LSH keeps tiny.
+    candidates; identical texts agree on all bands.
+
+    Shape (round 3): shingles EXPLODE to rows and the 8 band minima are
+    8 ``min()`` aggregates in one codegen'd hash aggregation with
+    map-side combine — the shuffle carries only 8 short strings per doc.
+    The previous per-row formulation materialized a len(text)-element
+    digest array plus 8 more per-band slice arrays per document; for a
+    long document that is ~1 MB of short-lived UnsafeArrayData per row
+    in interpreted HOFs, and it measured ~25% slower at 3.6 kB docs
+    (75 s -> 61 s on the 50k x 3.6 kB stress corpus) with memory growing
+    linearly in document length.  The aggregation buffer here is
+    constant-size per doc regardless of length — the shape that
+    survives 100 TB of long documents.
+
+    A STREAMING input instead takes the stateless per-row formulation
+    (identical minima, no aggregation): a groupBy on an unbounded stream
+    would be a watermark-requiring stateful aggregation, and
+    streaming/neardup_stream.py needs the bands map-only so its ONLY
+    state is the explicit applyInPandasWithState bucket store.
     """
+    if docs.isStreaming:
+        return _minhash_bands_rowwise(docs)
+    n = F.greatest(F.length("text") - F.lit(_SHINGLE - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.col("text").substr(i + 1, F.lit(_SHINGLE)),
+    )
+    hashed = docs.select("doc_id", F.explode(shingles).alias("s")).select(
+        "doc_id", F.md5("s").alias("h")
+    )
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h").substr(F.lit(1 + 3 * b), F.lit(8))).alias(f"_b{b}")
+            for b in range(_MINHASH_BANDS)
+        ]
+    )
+    sigs = F.array(*[F.col(f"_b{b}") for b in range(_MINHASH_BANDS)])
+    return mins.select(
+        "doc_id", F.posexplode(sigs).alias("band", "signature")
+    ).withColumn("band", F.col("band").cast("long"))
+
+
+def _minhash_bands_rowwise(docs: DataFrame) -> DataFrame:
+    """Stateless per-row band minima (streaming path): one digest array
+    per document, 8 slice-min scans over it.  Identical output to the
+    batch shape; memory scales with document length, which is acceptable
+    per micro-batch."""
     n = F.greatest(F.length("text") - F.lit(_SHINGLE - 1), F.lit(1))
     hashes = F.transform(
         F.sequence(F.lit(0), n - 1),
@@ -390,7 +443,9 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     sigs = F.array(
         *[
             F.array_min(
-                F.transform(F.col("hs"), lambda h: h.substr(F.lit(1 + 3 * b), F.lit(8)))
+                F.transform(
+                    F.col("hs"), lambda h: h.substr(F.lit(1 + 3 * b), F.lit(8))
+                )
             )
             for b in range(_MINHASH_BANDS)
         ]

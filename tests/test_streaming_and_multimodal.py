@@ -181,3 +181,21 @@ def test_streaming_neardup_flags_pairs_across_restarts(spark, tmp_path):
     assert 7 not in docs_in_pairs
     n_pairs = final.select("doc_a", "doc_b").distinct().count()
     assert n_pairs == 10  # C(5,2): every pair among the first five members
+
+
+def test_minhash_band_shapes_agree(spark):
+    """The batch (explode+aggregate) and streaming (stateless per-row)
+    minhash_bands formulations must produce identical (doc_id, band,
+    signature) sets — one semantics, two execution shapes."""
+    from coa_ocr_simple_spark.plans.driver_queries import (
+        _minhash_bands_rowwise,
+        minhash_bands,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    agg = {(r["doc_id"], r["band"], r["signature"]) for r in minhash_bands(docs).collect()}
+    row = {
+        (r["doc_id"], r["band"], r["signature"])
+        for r in _minhash_bands_rowwise(docs).collect()
+    }
+    assert agg == row and len(agg) == docs.count() * 8
