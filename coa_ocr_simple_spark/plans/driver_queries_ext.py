@@ -308,6 +308,109 @@ SELECT query_id, rank, neighbor_id, dot_q FROM (
 """
 
 
+# --- IVF multi-probe search (nprobe=2: the recall/cost knob) ---------------------------
+
+_IVF_NPROBE = 2
+
+
+def q_ann_ivf_search_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with nprobe=2: each query probes its TWO nearest
+    inverted lists instead of one — the standard recall knob (recall
+    lost to a query landing just inside the wrong Voronoi cell is
+    recovered by also probing the runner-up list, at ~2x candidate
+    cost).  Still an equi-join on centroid_id, never a cross join; a
+    (query, neighbor) pair cannot duplicate because every neighbor
+    belongs to exactly one list while the query's two probe lists are
+    distinct."""
+    emb = (
+        _read(spark, sf_dir, "embeddings")
+        .select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+        .persist()
+    )
+    centroids = emb.where(F.col("vec_id") % _IVF_CENTROID_MOD == 1).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv")
+    )
+    cdot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("centroid_id"))
+    ranked = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "centroid_id", cdot.alias("cdot"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _IVF_NPROBE)
+        .persist()
+    )
+    queries = ranked.where(F.col("vec_id") % _QMOD == 0).select(
+        F.col("vec_id").alias("query_id"), "centroid_id"
+    )
+    cands = ranked.where(
+        (F.col("rn") == 1) & (F.col("vec_id") % _QMOD != 0)
+    ).select(F.col("vec_id").alias("neighbor_id"), "centroid_id")
+    pairs = (
+        queries.join(cands, "centroid_id")
+        .join(
+            emb.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("q")),
+            "query_id",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("c")),
+            "neighbor_id",
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("q", "c", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select("query_id", "neighbor_id", dot.alias("dot_q"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= _IVF_TOPK)
+        .select("query_id", "rank", "neighbor_id", "dot_q")
+    )
+
+
+_IVF_SEARCH_P2_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, qv AS cv FROM q
+  WHERE vec_id % {_IVF_CENTROID_MOD} = 1
+), ranked AS (
+  SELECT vec_id, centroid_id, rn FROM (
+    SELECT q.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY CAST(list_dot_product(q.qv, c.cv) AS BIGINT) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {_IVF_NPROBE}
+), queries AS (
+  SELECT vec_id AS query_id, centroid_id FROM ranked WHERE vec_id % {_QMOD} = 0
+), cands AS (
+  SELECT vec_id AS neighbor_id, centroid_id FROM ranked
+  WHERE rn = 1 AND vec_id % {_QMOD} != 0
+), scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot_q
+  FROM (SELECT query_id, neighbor_id FROM queries JOIN cands USING (centroid_id)) p
+  JOIN q a ON p.query_id = a.vec_id
+  JOIN q b ON p.neighbor_id = b.vec_id
+)
+SELECT query_id, rank, neighbor_id, dot_q FROM (
+  SELECT query_id, neighbor_id, dot_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot_q DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_IVF_TOPK}
+"""
+
+
 # --- BPE-ish regex pre-tokenizer stats ---------------------------------------------------
 
 # GPT-2-style pretokenizer classes, restricted to the ASCII subset where
@@ -542,6 +645,7 @@ QUERIES_EXT = {
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_search": q_ann_ivf_search,
+    "ann_ivf_search_p2": q_ann_ivf_search_p2,
     "bpe_token_stats": q_bpe_token_stats,
     "dedup_simhash": q_dedup_simhash,
     "language_quality": q_language_quality,
@@ -553,6 +657,7 @@ ORACLES_EXT = {
     "ann_lsh_bucketed": _lsh_sql(),
     "ann_ivf_assign": _IVF_SQL,
     "ann_ivf_search": _IVF_SEARCH_SQL.format(ivf=_IVF_SQL),
+    "ann_ivf_search_p2": _IVF_SEARCH_P2_SQL,
     "bpe_token_stats": _BPE_SQL,
     "dedup_simhash": _simhash_sql(),
     "language_quality": _language_quality_sql(),
