@@ -302,7 +302,30 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression into the window lambda and the interpreter recomputes
     EVERY k-gram hash per window position: O(len^2 * k) per doc,
     measured 461 s for the whole sf0.1 corpus vs ~2 s materialized."""
-    docs = _docs(spark, sf_dir)
+    with_fps = winnow_fps(_docs(spark, sf_dir))
+    return with_fps.select(
+        "doc_id",
+        F.when(F.col("fps").isNotNull(), F.size("fps"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_fingerprints"),
+        F.when(
+            F.col("fps").isNotNull(),
+            F.md5(
+                F.array_join(
+                    F.transform("fps", lambda x: x.cast("string")), ","
+                )
+            ),
+        )
+        .otherwise(F.lit(""))
+        .alias("fingerprint_md5"),
+    )
+
+
+def winnow_fps(docs: DataFrame) -> DataFrame:
+    """(doc_id, fps): the per-document winnowing fingerprint SET (sorted
+    distinct window minima; null for sub-window docs) — shared by the
+    per-doc digest query and the overlap pair generator."""
     n_h = F.length("text") - F.lit(_WIN_K - 1)  # number of k-grams
 
     def kgram_hash(i):
@@ -324,32 +347,17 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size("hs") - F.lit(_WIN_W)),
         lambda s: F.array_min(F.slice(F.col("hs"), s + 1, F.lit(_WIN_W))),
     )
-    with_fps = with_hashes.select(
+    return with_hashes.select(
         "doc_id",
         F.when(
             F.col("hs").isNotNull(), F.array_sort(F.array_distinct(mins))
         ).alias("fps"),
     )
-    return with_fps.select(
-        "doc_id",
-        F.when(F.col("fps").isNotNull(), F.size("fps"))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("n_fingerprints"),
-        F.when(
-            F.col("fps").isNotNull(),
-            F.md5(
-                F.array_join(
-                    F.transform("fps", lambda x: x.cast("string")), ","
-                )
-            ),
-        )
-        .otherwise(F.lit(""))
-        .alias("fingerprint_md5"),
-    )
 
 
-def _winnow_sql() -> str:
+def _winnow_mins_ctes() -> str:
+    """hs/mins CTE bodies computing the per-doc fps set — shared by the
+    per-doc digest oracle and the overlap-pairs oracle."""
     # DuckDB lacks a fold over lists with a custom lambda accumulator in
     # older syntax; list_reduce exists (>=0.10): reduce(l, (acc, x) -> ...)
     khash = (
@@ -357,8 +365,7 @@ def _winnow_sql() -> str:
         f"CAST(ascii(substring(text, CAST(i + j + 1 AS INTEGER), 1)) AS BIGINT)), "
         f"(acc, x) -> (acc * {_WIN_B} + x) % {_WIN_M})"
     )
-    return f"""
-WITH hs AS (
+    return f"""hs AS (
   SELECT doc_id, text,
     CASE WHEN LENGTH(text) >= {_WIN_K + _WIN_W - 1} THEN
       list_transform(range(0, LENGTH(text) - {_WIN_K - 1}), i -> {khash})
@@ -372,7 +379,12 @@ WITH hs AS (
         s -> list_min(h[CAST(s + 1 AS INTEGER):CAST(s + {_WIN_W} AS INTEGER)]))))
     END AS fps
   FROM hs
-)
+)"""
+
+
+def _winnow_sql() -> str:
+    return f"""
+WITH {_winnow_mins_ctes()}
 SELECT doc_id,
   CASE WHEN fps IS NOT NULL THEN len(fps) ELSE 0 END AS n_fingerprints,
   CASE WHEN fps IS NOT NULL
@@ -494,7 +506,67 @@ FROM marked WHERE kind = 1
 """
 
 
+# --- winnowing overlap pairs (MOSS completed: fingerprints -> shared-substring pairs) ----
+
+_WIN_MIN_SHARED = 32  # pairs must share >= 32 selected fingerprints — on a
+# template-heavy corpus almost every pair shares a handful of boilerplate
+# fingerprints (>= 2 kept 82% of ALL doc pairs at sf0.01); 32 isolates
+# the genuinely-overlapping tail (101 pairs at sf0.01)
+
+
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS use-case end-to-end: documents sharing winnowing
+    fingerprints are overlap candidates; the guarantee (any common
+    substring of length >= k+w-1 contributes a shared fingerprint) makes
+    this the exact-substring-overlap detector MinHash can't be.  Pairs
+    come from the SAME size-gated bucket machinery as every other dedup
+    modality (_pairs_within_buckets on the fingerprint value — a
+    boilerplate fingerprint shared by >256 docs is dropped, bounding
+    fan-out), then counted per pair."""
+    from .driver_queries_dedup import _pairs_within_buckets
+
+    from pyspark import StorageLevel
+
+    # PLAN BARRIER REQUIRED: exploding the computed fps column directly
+    # lets the optimizer substitute the winnowing expression into the
+    # Generate and its pruning projections — the k-gram hash reduce
+    # appeared 7x in the physical plan and sf0.01 went from ~2 s to a
+    # hang (the same CollapseProject family of blowups documented on
+    # winnow_fingerprint).  Persisting the tiny per-doc fps frame makes
+    # the Generate consume a bound attribute instead of an expression;
+    # explode() also drops the null-fps (sub-window) rows by itself.
+    fps = winnow_fps(_docs(spark, sf_dir)).persist(StorageLevel.MEMORY_AND_DISK)
+    rows = fps.select("doc_id", F.explode("fps").alias("fp"))
+    pairs = _pairs_within_buckets(rows, ["fp"], "doc_id", "doc_a", "doc_b")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
+
+
+def _winnow_pairs_sql() -> str:
+    from .driver_queries_dedup import _MAX_BUCKET
+
+    return f"""
+WITH {_winnow_mins_ctes()},
+fp AS (
+  SELECT doc_id, unnest(fps) AS fp FROM mins WHERE fps IS NOT NULL
+), sized AS (
+  SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS bsz FROM fp
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sized a JOIN sized b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  WHERE a.bsz <= {_MAX_BUCKET}
+)
+SELECT doc_a, doc_b, COUNT(*) AS n_shared
+FROM pairs GROUP BY doc_a, doc_b
+HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+"""
+
+
 QUERIES_CORPUS = {
+    "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "asof_last_view": q_asof_last_view,
     "event_window_rollup": q_event_window_rollup,
     "winnow_fingerprint": q_winnow_fingerprint,
@@ -506,6 +578,7 @@ QUERIES_CORPUS = {
 }
 
 ORACLES_CORPUS = {
+    "winnow_overlap_pairs": _winnow_pairs_sql(),
     "asof_last_view": _ASOF_SQL,
     "event_window_rollup": _WINDOW_ROLLUP_SQL,
     "winnow_fingerprint": _winnow_sql(),

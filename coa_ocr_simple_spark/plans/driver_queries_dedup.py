@@ -521,6 +521,38 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(_docs(spark, sf_dir))
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the embedding-cosine near-dup edges —
+    the same operator composition as neardup_clusters but on the vector
+    modality: semantically-duplicate GROUPS (not just pairs), one
+    representative (min vec_id) per component.  Reuses the hardened
+    connected_components loop (pointer jumping, localCheckpoint,
+    ConvergenceError)."""
+    edges = q_embedding_neardup(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(edges, src="id_a", dst="id_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
+def _embedding_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_embedding_neardup_sql()})
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT DISTINCT src AS vec_id, src AS other FROM edges
+  UNION
+  SELECT r.vec_id, e.dst AS other
+  FROM reach r JOIN edges e ON r.other = e.src
+)
+SELECT vec_id, MIN(other) AS cluster_id
+FROM reach GROUP BY vec_id
+"""
+
+
 def _neardup_clusters_sql() -> str:
     return f"""
 WITH RECURSIVE pairs AS (
@@ -629,6 +661,7 @@ SELECT (SELECT COUNT(*) FROM documents) AS n_total,
 QUERIES_DEDUP = {
     "curation_funnel": q_curation_funnel,
     "neardup_clusters": q_neardup_clusters,
+    "embedding_clusters": q_embedding_clusters,
     "minhash_candidate_pairs": q_minhash_candidate_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -637,6 +670,7 @@ QUERIES_DEDUP = {
 ORACLES_DEDUP = {
     "curation_funnel": _curation_funnel_sql(),
     "neardup_clusters": _neardup_clusters_sql(),
+    "embedding_clusters": _embedding_clusters_sql(),
     "minhash_candidate_pairs": _minhash_pairs_sql(),
     "ngram_jaccard_pairs": _ngram_jaccard_sql(),
     "embedding_neardup": _embedding_neardup_sql(),
