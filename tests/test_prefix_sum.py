@@ -1,0 +1,60 @@
+"""Hierarchical distributed prefix sum (_int_prefix_offsets): the
+multi-level recursion only engages above _SCAN_BASE rows per level, so
+real corpora exercise one level — these tests force THREE levels with
+shrunken widths and check exact offsets, plus the degenerate shapes."""
+
+from __future__ import annotations
+
+import pytest
+
+import coa_ocr_simple_spark.plans.driver_queries_quality as q
+
+
+def _expected(vals):
+    out, tot = {}, 0
+    for k in sorted(vals):
+        out[k] = tot
+        tot += vals[k]
+    return out
+
+
+def test_multilevel_offsets_exact(spark, monkeypatch):
+    monkeypatch.setattr(q, "_SCAN_W", 4)
+    monkeypatch.setattr(q, "_SCAN_BASE", 4)
+    # 100 keys / width 4 -> 25 buckets -> 7 -> 2: three scan levels
+    vals = {i: (i % 3) + 1 for i in range(100)}
+    rows = spark.createDataFrame(sorted(vals.items()), ["k", "v"])
+    out = {r["k"]: r["off"] for r in q._int_prefix_offsets(rows, "k", "v").collect()}
+    assert out == _expected(vals)
+
+
+def test_sparse_noncontiguous_keys(spark, monkeypatch):
+    monkeypatch.setattr(q, "_SCAN_W", 8)
+    monkeypatch.setattr(q, "_SCAN_BASE", 2)
+    vals = {k: k % 7 for k in [1, 5, 64, 65, 640, 1000, 4096, 99999]}
+    rows = spark.createDataFrame(sorted(vals.items()), ["k", "v"])
+    out = {r["k"]: r["off"] for r in q._int_prefix_offsets(rows, "k", "v").collect()}
+    assert out == _expected(vals)
+
+
+def test_single_row(spark):
+    rows = spark.createDataFrame([(42, 7)], ["k", "v"])
+    out = q._int_prefix_offsets(rows, "k", "v").collect()
+    assert [(r["k"], r["off"]) for r in out] == [(42, 0)]
+
+
+def test_packing_bins_never_regress(spark):
+    """bin_offset < bin size everywhere, bins contiguous from 0, and the
+    total token count reconciles with the last doc's offset."""
+    from pyspark.sql import functions as F
+
+    df = q.q_sequence_packing(spark, "/root/testdata/sf0.001")
+    bad = df.where(
+        (F.col("bin_offset") < 0) | (F.col("bin_offset") >= q._PACK_BIN_TOKENS)
+    ).count()
+    assert bad == 0
+    rows = df.orderBy("doc_id").collect()
+    running = 0
+    for r in rows:
+        assert r["bin_id"] * q._PACK_BIN_TOKENS + r["bin_offset"] == running
+        running += r["n_tokens"]
