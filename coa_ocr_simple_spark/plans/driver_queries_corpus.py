@@ -565,7 +565,73 @@ HAVING COUNT(*) >= {_WIN_MIN_SHARED}
 """
 
 
+# --- integer-exact TF-IDF keyword extraction ----------------------------------------------
+
+_TFIDF_TOPK = 3
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k TF-IDF keywords — the classic corpus keyword
+    extractor, made cross-engine bit-exact by an INTEGER idf:
+    floor(log2(N/df)) computed as LENGTH(bin(N // df)) - 1 (no float log
+    anywhere, so no rounding-boundary flake).  Shapes: one explode +
+    two hash aggregations (term frequencies then document frequencies),
+    a broadcast of the 1-row corpus count, and a per-doc top-k window —
+    all partial-aggregable, no shuffle carries raw text."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf_int = F.length(F.bin((F.col("n_docs") / F.col("df")).cast("long"))) - 1
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term", (F.col("tf") * idf_int).cast("long").alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _TFIDF_TOPK)
+        .select("doc_id", "rank", "term", "score")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(TRIM(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term != ''
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term,
+         CAST(tf * (LENGTH(bin(n_docs // df)) - 1) AS BIGINT) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, rank, term, score FROM (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {_TFIDF_TOPK}
+"""
+
+
 QUERIES_CORPUS = {
+    "tfidf_keywords": q_tfidf_keywords,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "asof_last_view": q_asof_last_view,
     "event_window_rollup": q_event_window_rollup,
@@ -578,6 +644,7 @@ QUERIES_CORPUS = {
 }
 
 ORACLES_CORPUS = {
+    "tfidf_keywords": _TFIDF_SQL,
     "winnow_overlap_pairs": _winnow_pairs_sql(),
     "asof_last_view": _ASOF_SQL,
     "event_window_rollup": _WINDOW_ROLLUP_SQL,
