@@ -413,6 +413,8 @@ def connected_components(
     Returns (doc_id, cluster_id = component-min doc_id).  ``stats``
     (optional) receives {"rounds": n} for plan-depth assertions in tests.
     """
+    if max_iters < 1:
+        raise ValueError(f"connected_components: max_iters must be >= 1, got {max_iters}")
     both = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .unionByName(
@@ -448,6 +450,7 @@ def _cc_loop(both: DataFrame, max_iters: int, stats: dict | None) -> DataFrame:
     )
     rounds = 0
     converged = False
+    changed = -1  # defensive: referenced in the error message below
     for _ in range(max_iters):
         rounds += 1
         neighbor_min = (
@@ -594,6 +597,11 @@ def curation_stages(docs: DataFrame, jaccard_min: int = _FUNNEL_JACCARD_MIN):
     from .driver_queries_ext import language_quality
 
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    # eager fill: the four consumer stages are independent and Spark
+    # schedules them concurrently — concurrent tasks over a COLD cache
+    # each recompute their partition of the scan before one wins the
+    # block store (measured 1.75x wall in _pairs_within_buckets)
+    docs.count()
     quality = (
         language_quality(docs)
         .where(F.col("is_quality"))

@@ -178,7 +178,11 @@ def gram_decontamination(docs: DataFrame, n: int = _DECON_N) -> DataFrame:
     """Eval docs (doc_id % 10 == 0) sharing any exact n-token gram with a
     train doc, with the overlap mass: (eval_doc_id, n_overlap_grams,
     n_train_docs)."""
-    grams = _token_grams(docs, n)
+    # the gram derivation (explode + md5 over the whole corpus) feeds BOTH
+    # the eval and train branches of the self-join — no cross-branch CSE,
+    # so persist with an eager fill or it executes twice per run
+    grams = _token_grams(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    grams.count()
     ev = grams.where(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "g"
     )
@@ -302,8 +306,17 @@ JOIN documents b ON c.doc_b = b.doc_id
 # --- distributed prefix sum + training-sequence packing -----------------------------------
 
 _PACK_BIN_TOKENS = 2048  # training sequence length
-_SCAN_W = 4096  # bucket fan-in per scan level
+_SCAN_W = 4096  # bucket fan-in per scan level (power of two — see _scan_bucket)
 _SCAN_BASE = 1024  # levels recurse until this many buckets remain
+
+def _scan_bucket(col):
+    """key // _SCAN_W as an arithmetic right shift: exact long FLOOR
+    division for every int64 (the old ``(k / W).cast('long')`` double
+    division truncated toward zero on negatives and lost precision above
+    2^53).  Reads _SCAN_W at call time so tests can shrink it."""
+    shift = _SCAN_W.bit_length() - 1
+    assert 1 << shift == _SCAN_W, "_SCAN_W must be a power of two"
+    return F.shiftright(col.cast("long"), shift)
 
 
 def _int_prefix_offsets(rows: DataFrame, key: str, val: str) -> DataFrame:
@@ -318,6 +331,12 @@ def _int_prefix_offsets(rows: DataFrame, key: str, val: str) -> DataFrame:
     10^12 rows.  The per-level count() probes are plan-build actions
     (like the CC loop); each level is persisted so the walk back down
     reads cached totals.
+
+    Bucketing is an arithmetic right shift (_scan_bucket): exact FLOOR
+    division for the full int64 key domain, negatives included — the old
+    ``(k / W).cast('long')`` double division truncated toward zero on
+    negatives and lost precision above 2^53 (guarded by
+    test_prefix_sum.py's 2^60-key case).
     """
     from pyspark.sql import Window
 
@@ -329,7 +348,7 @@ def _int_prefix_offsets(rows: DataFrame, key: str, val: str) -> DataFrame:
     while levels[-1].count() > _SCAN_BASE:
         nxt = (
             levels[-1]
-            .groupBy((F.col("k") / _SCAN_W).cast("long").alias("k"))
+            .groupBy(_scan_bucket(F.col("k")).alias("k"))
             .agg(F.sum("v").alias("v"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -350,7 +369,7 @@ def _int_prefix_offsets(rows: DataFrame, key: str, val: str) -> DataFrame:
     for cur in reversed(levels[:-1]):
         boff = off.select(F.col("k").alias("bkt"), F.col("off").alias("boff"))
         off = (
-            cur.withColumn("bkt", (F.col("k") / _SCAN_W).cast("long"))
+            cur.withColumn("bkt", _scan_bucket(F.col("k")))
             .join(boff, "bkt")
             .select(
                 "k",

@@ -55,3 +55,13 @@ def test_round_cap_raises_instead_of_wrong_labels(spark):
 def test_empty_edge_set(spark):
     e = spark.createDataFrame([], "doc_a string, doc_b string")
     assert connected_components(e).count() == 0
+
+
+def test_nonpositive_max_iters_raises_value_error(spark):
+    """ADVICE (round 3): max_iters < 1 previously died on an unbound
+    `changed` NameError inside the ConvergenceError message; it must be
+    rejected up front instead."""
+    with pytest.raises(ValueError, match="max_iters"):
+        connected_components(_chain_edges(spark, n=3), max_iters=0)
+    with pytest.raises(ValueError, match="max_iters"):
+        connected_components(_chain_edges(spark, n=3), max_iters=-2)

@@ -104,3 +104,40 @@ def test_stream_matches_batch_semantics(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_replayed_batch_does_not_duplicate_flags(spark, tmp_path):
+    """ADVICE (round 3): foreachBatch is at-least-once — a crash between
+    the sink write and the checkpoint commit replays the same batch_id on
+    restart.  The sink must be idempotent: re-emitting a batch (same id)
+    leaves exactly one row per flagged doc, not two."""
+    from coa_ocr_simple_spark.streaming.decontaminate_stream import (
+        flag_contaminated,
+        train_grams,
+        write_flags_batch,
+    )
+
+    train_path = str(tmp_path / "train.parquet")
+    pq.write_table(
+        pa.Table.from_pylist(_doc_rows([(1000, f"{TRAIN_SENTENCE} tail words")])),
+        train_path,
+    )
+    static = spark.read.parquet(train_path)
+    grams = train_grams(static)
+
+    cand_path = str(tmp_path / "cand.parquet")
+    pq.write_table(
+        pa.Table.from_pylist(_doc_rows([(1, f"intro {TRAIN_SENTENCE} outro")])),
+        cand_path,
+    )
+    candidates = spark.read.parquet(cand_path)
+
+    out = str(tmp_path / "flags")
+    flagged = flag_contaminated(candidates, grams)
+    write_flags_batch(flagged, out, 0)
+    # replay of the SAME batch (crash-before-commit): must overwrite, not append
+    write_flags_batch(flagged, out, 0)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 1

@@ -58,3 +58,29 @@ def test_packing_bins_never_regress(spark):
     for r in rows:
         assert r["bin_id"] * q._PACK_BIN_TOKENS + r["bin_offset"] == running
         running += r["n_tokens"]
+
+
+def test_huge_keys_exact_above_double_precision(spark, monkeypatch):
+    """ADVICE (round 3): bucketing used double division, which loses
+    precision above 2^53 — adjacent huge keys could land in the wrong
+    bucket.  The arithmetic-shift bucket must keep 2^60-scale keys exact
+    (adjacent keys straddling a bucket edge included)."""
+    monkeypatch.setattr(q, "_SCAN_W", 4)
+    monkeypatch.setattr(q, "_SCAN_BASE", 2)
+    base = 1 << 60
+    keys = [base + d for d in (0, 1, 2, 3, 4, 5, 101, 102)]
+    vals = {k: (k % 5) + 1 for k in keys}
+    rows = spark.createDataFrame(sorted(vals.items()), ["k", "v"])
+    out = {r["k"]: r["off"] for r in q._int_prefix_offsets(rows, "k", "v").collect()}
+    assert out == _expected(vals)
+
+
+def test_negative_keys_floor_bucketing(spark, monkeypatch):
+    """Arithmetic shift floors toward -inf, so negative keys bucket
+    correctly too (truncation-toward-zero folded -3 and +3 together)."""
+    monkeypatch.setattr(q, "_SCAN_W", 4)
+    monkeypatch.setattr(q, "_SCAN_BASE", 2)
+    vals = {k: abs(k) % 4 + 1 for k in [-9, -8, -5, -1, 0, 1, 7, 8, 15]}
+    rows = spark.createDataFrame(sorted(vals.items()), ["k", "v"])
+    out = {r["k"]: r["off"] for r in q._int_prefix_offsets(rows, "k", "v").collect()}
+    assert out == _expected(vals)
