@@ -319,6 +319,15 @@ def _scan_bucket(col):
     return F.shiftright(col.cast("long"), shift)
 
 
+def _bin_of(col):
+    """token offset // _PACK_BIN_TOKENS via arithmetic shift — exact for
+    the full long domain (a double division caps out at 2^53, which a
+    10^12-doc token stream approaches)."""
+    shift = _PACK_BIN_TOKENS.bit_length() - 1
+    assert 1 << shift == _PACK_BIN_TOKENS, "_PACK_BIN_TOKENS must be a power of two"
+    return F.shiftright(col.cast("long"), shift)
+
+
 def _int_prefix_offsets(rows: DataFrame, key: str, val: str) -> DataFrame:
     """(key, off): sum of ``val`` over all rows with a strictly smaller
     integer ``key`` — a distributed prefix sum (scan).
@@ -398,7 +407,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.floor(F.col("off") / _PACK_BIN_TOKENS).cast("long").alias("bin_id"),
+            _bin_of(F.col("off")).alias("bin_id"),
             (F.col("off") % _PACK_BIN_TOKENS).cast("long").alias("bin_offset"),
         )
     )
@@ -419,6 +428,79 @@ SELECT doc_id, n_tokens,
        CAST(off // {_PACK_BIN_TOKENS} AS BIGINT) AS bin_id,
        CAST(off % {_PACK_BIN_TOKENS} AS BIGINT) AS bin_offset
 FROM o
+"""
+
+
+def q_sequence_packing_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-aware sequence packing (round-3 verdict item 5): the
+    trainer-consumable mode.  ``sequence_packing`` indexes a contiguous
+    token stream, so a document can straddle a 2048-token bin edge; here
+    each document is SPLIT at bin edges into fragments
+    (doc_id, bin_id, frag_start, frag_len, bin_offset) — frag_start is
+    the token offset inside the doc, bin_offset the position inside the
+    bin.  Concatenating a bin's fragments in bin_offset order yields one
+    exactly-2048-token training sequence (the global last bin may be
+    short); no fragment ever crosses a bin edge (invariant-tested).
+
+    Same distributed prefix sum as sequence_packing, then a per-row
+    explode over the doc's bin range — fan-out is ceil(n_tokens/2048)+1
+    per doc (bounded by doc length), pure integer arithmetic, no extra
+    shuffle."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    off = _int_prefix_offsets(toks, "doc_id", "n_tokens")
+    base = toks.join(off.withColumnRenamed("k", "doc_id"), "doc_id")
+    frag = base.select(
+        "doc_id",
+        "n_tokens",
+        "off",
+        F.explode(
+            F.sequence(
+                _bin_of(F.col("off")),
+                _bin_of(F.col("off") + F.col("n_tokens") - 1),
+            )
+        ).alias("bin_id"),
+    )
+    start_tok = F.greatest(F.col("bin_id") * _PACK_BIN_TOKENS, F.col("off"))
+    end_tok = F.least(
+        (F.col("bin_id") + 1) * _PACK_BIN_TOKENS, F.col("off") + F.col("n_tokens")
+    )
+    return frag.select(
+        "doc_id",
+        F.col("bin_id").cast("long").alias("bin_id"),
+        (start_tok - F.col("off")).cast("long").alias("frag_start"),
+        (end_tok - start_tok).cast("long").alias("frag_len"),
+        (start_tok - F.col("bin_id") * _PACK_BIN_TOKENS).cast("long").alias("bin_offset"),
+    )
+
+
+_PACKING_SPLIT_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM t
+), f AS (
+  SELECT doc_id, n_tokens, off, b.bin_id
+  FROM o, unnest(range(off // {_PACK_BIN_TOKENS},
+                       (off + n_tokens - 1) // {_PACK_BIN_TOKENS} + 1)) AS b(bin_id)
+)
+SELECT doc_id,
+       CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(GREATEST(bin_id * {_PACK_BIN_TOKENS}, off) - off AS BIGINT) AS frag_start,
+       CAST(LEAST((bin_id + 1) * {_PACK_BIN_TOKENS}, off + n_tokens)
+            - GREATEST(bin_id * {_PACK_BIN_TOKENS}, off) AS BIGINT) AS frag_len,
+       CAST(GREATEST(bin_id * {_PACK_BIN_TOKENS}, off)
+            - bin_id * {_PACK_BIN_TOKENS} AS BIGINT) AS bin_offset
+FROM f
 """
 
 
@@ -476,6 +558,7 @@ QUERIES_QUALITY = {
     "source_quota_sample": q_source_quota_sample,
     "edit_distance_pairs": q_edit_distance_pairs,
     "sequence_packing": q_sequence_packing,
+    "sequence_packing_split": q_sequence_packing_split,
     "stratified_sample": q_stratified_sample,
 }
 
@@ -485,5 +568,6 @@ ORACLES_QUALITY = {
     "source_quota_sample": _QUOTA_SQL,
     "edit_distance_pairs": _edit_distance_sql(),
     "sequence_packing": _PACKING_SQL,
+    "sequence_packing_split": _PACKING_SPLIT_SQL,
     "stratified_sample": _stratified_sql(),
 }

@@ -335,7 +335,6 @@ QUERIES_REL.update(
     {
         "order_rollup": q_order_rollup,
         "repeat_customers": q_repeat_customers,
-        "hash_sample": q_hash_sample,
     }
 )
 
@@ -343,6 +342,12 @@ ORACLES_REL.update(
     {
         "order_rollup": _ORDER_ROLLUP_SQL,
         "repeat_customers": _REPEAT_CUSTOMERS_SQL,
-        "hash_sample": _HASH_SAMPLE_SQL,
     }
 )
+
+# Demoted from the driver registry (round-3 verdict item 1: the driver
+# gate caps at 50 entries; hash_sample is the single-rate special case of
+# the registered stratified_sample — same md5-prefix mechanism).  Still
+# public API, oracle-green via check_oracles.py / test_extra_oracles.py.
+EXTRA_QUERIES_REL = {"hash_sample": q_hash_sample}
+EXTRA_ORACLES_REL = {"hash_sample": _HASH_SAMPLE_SQL}

@@ -84,3 +84,46 @@ def test_negative_keys_floor_bucketing(spark, monkeypatch):
     rows = spark.createDataFrame(sorted(vals.items()), ["k", "v"])
     out = {r["k"]: r["off"] for r in q._int_prefix_offsets(rows, "k", "v").collect()}
     assert out == _expected(vals)
+
+
+def test_packing_split_invariants(spark):
+    """Boundary-aware mode (round-3 verdict item 5): no fragment crosses
+    a bin edge, fragments tile each doc exactly, and every bin except the
+    global last holds exactly _PACK_BIN_TOKENS tokens — i.e. the bins ARE
+    trainer-consumable fixed-length sequences."""
+    from pyspark.sql import functions as F
+
+    B = q._PACK_BIN_TOKENS
+    df = q.q_sequence_packing_split(spark, "/root/testdata/sf0.001")
+    frags = df.collect()
+    assert frags
+
+    # 1. in-bin bounds: fragments never cross a bin edge
+    assert all(
+        0 <= r["bin_offset"] and r["bin_offset"] + r["frag_len"] <= B and r["frag_len"] >= 1
+        for r in frags
+    )
+
+    # 2. fragments tile each doc: frag_starts contiguous from 0, lengths sum
+    per_doc = {}
+    for r in frags:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    plain = {
+        r["doc_id"]: r["n_tokens"]
+        for r in q.q_sequence_packing(spark, "/root/testdata/sf0.001").collect()
+    }
+    for doc_id, rs in per_doc.items():
+        rs.sort(key=lambda r: r["frag_start"])
+        assert rs[0]["frag_start"] == 0
+        for prev, cur in zip(rs, rs[1:]):
+            assert prev["frag_start"] + prev["frag_len"] == cur["frag_start"]
+        assert sum(r["frag_len"] for r in rs) == plain[doc_id]
+
+    # 3. bin fill: all bins full except the global last
+    fill = {}
+    for r in frags:
+        fill[r["bin_id"]] = fill.get(r["bin_id"], 0) + r["frag_len"]
+    last = max(fill)
+    assert set(fill) == set(range(last + 1))  # contiguous bin ids from 0
+    assert all(v == B for b, v in fill.items() if b != last)
+    assert 1 <= fill[last] <= B
