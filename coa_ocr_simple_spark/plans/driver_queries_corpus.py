@@ -325,18 +325,31 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnow_fps(docs: DataFrame) -> DataFrame:
     """(doc_id, fps): the per-document winnowing fingerprint SET (sorted
     distinct window minima; null for sub-window docs) — shared by the
-    per-doc digest query and the overlap pair generator."""
-    n_h = F.length("text") - F.lit(_WIN_K - 1)  # number of k-grams
+    per-doc digest query and the overlap pair generator.
+
+    Char codes are materialized ONCE per doc as an int array (`codes`):
+    ascii(substr(text, p, 1)) walks the UTF8 bytes to position p — O(p)
+    per access, O(len^2 * k) per doc on long documents.  `codes` is
+    referenced 3x in the consuming projection (two sizes + the lambda),
+    so CollapseProject cannot inline the split back into the hash lambda
+    (the same hazard class documented below for `hs`)."""
+    pre = docs.select(
+        "doc_id",
+        F.transform(F.split(F.col("text"), ""), F.ascii).alias("codes"),
+    )
+    n_h = F.size("codes") - F.lit(_WIN_K - 1)  # number of k-grams
 
     def kgram_hash(i):
         return F.aggregate(
             F.sequence(F.lit(0), F.lit(_WIN_K - 1)),
             F.lit(0).cast("long"),
-            lambda acc, j: (acc * _WIN_B + F.ascii(F.col("text").substr(i + j + 1, F.lit(1)))) % _WIN_M,
+            lambda acc, j: (acc * _WIN_B + F.get(F.col("codes"), (i + j).cast("int"))) % _WIN_M,
         )
 
-    eligible = F.length("text") >= _WIN_K + _WIN_W - 1
-    with_hashes = docs.select(
+    # size(codes) == length(text) for non-empty text; empty text splits
+    # to [''] (size 1), still far below the eligibility floor
+    eligible = F.size("codes") >= _WIN_K + _WIN_W - 1
+    with_hashes = pre.select(
         "doc_id",
         F.when(
             eligible, F.transform(F.sequence(F.lit(0), n_h - 1), kgram_hash)

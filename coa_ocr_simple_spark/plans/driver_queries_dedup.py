@@ -148,14 +148,19 @@ _MIN_BANDS_AGREE = 3  # score only candidates agreeing on >=3/8 bands —
 
 
 def _gram_sets(docs: DataFrame) -> DataFrame:
-    n = F.greatest(F.length("text") - F.lit(_NGRAM - 1), F.lit(1))
+    # char-array grams (not substr(text, i, k)): the per-position substr
+    # walks UTF8 bytes to position i — O(len^2) per doc, a straggler on
+    # long docs.  `cs` is referenced twice below (size + lambda) so
+    # CollapseProject keeps the split out of the HOF lambda.
+    pre = docs.select("doc_id", F.split(F.col("text"), "").alias("cs"))
+    n = F.greatest(F.size("cs") - F.lit(_NGRAM - 1), F.lit(1))
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), n - 1),
-            lambda i: F.col("text").substr(i + 1, F.lit(_NGRAM)),
+            lambda i: F.concat_ws("", F.slice(F.col("cs"), i + 1, F.lit(_NGRAM))),
         )
     )
-    return docs.select("doc_id", grams.alias("grams"))
+    return pre.select("doc_id", grams.alias("grams"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
