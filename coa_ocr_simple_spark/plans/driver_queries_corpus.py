@@ -460,10 +460,16 @@ def q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering: (ts, kind view<click, event_id), so an equal-timestamp
     view counts as 'before' and ties are explicit.  DuckDB has a native
     ASOF JOIN, but its equal-key tie-breaking is unspecified, so the
-    oracle mirrors this exact window formulation instead."""
+    oracle mirrors this exact window formulation instead.
+
+    The per-user running window is inherently one task per key, so the
+    same _MAX_USER_EVENTS guard as sessionize_events bounds the largest
+    partition (bot users excluded, in the plan, oracle-mirrored)."""
     from pyspark.sql import Window
 
-    ev = _read(spark, sf_dir, "events")
+    from .driver_queries_ext import _bounded_users
+
+    ev = _bounded_users(_read(spark, sf_dir, "events"))
     us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     views = ev.where(F.col("event_type") == "view").select(
         "user_id", "ts", "event_id", F.lit(0).alias("kind"), us.alias("us")
@@ -496,13 +502,20 @@ def q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ASOF_SQL = """
-WITH u AS (
+def _asof_sql() -> str:
+    from .driver_queries_ext import _MAX_USER_EVENTS
+
+    return f"""
+WITH bounded AS (
+  SELECT * FROM events
+  WHERE user_id IN (SELECT user_id FROM events
+                    GROUP BY user_id HAVING COUNT(*) <= {_MAX_USER_EVENTS})
+), u AS (
   SELECT user_id, ts, event_id, 0 AS kind, epoch_us(ts) AS us
-  FROM events WHERE event_type = 'view'
+  FROM bounded WHERE event_type = 'view'
   UNION ALL
   SELECT user_id, ts, event_id, 1 AS kind, epoch_us(ts) AS us
-  FROM events WHERE event_type = 'click'
+  FROM bounded WHERE event_type = 'click'
 ), marked AS (
   SELECT user_id, event_id, kind, us,
          last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
@@ -517,6 +530,9 @@ SELECT event_id AS click_id, user_id, last_view_id,
        CAST(us - last_view_us AS BIGINT) AS gap_us
 FROM marked WHERE kind = 1
 """
+
+
+_ASOF_SQL = _asof_sql()
 
 
 # --- winnowing overlap pairs (MOSS completed: fingerprints -> shared-substring pairs) ----

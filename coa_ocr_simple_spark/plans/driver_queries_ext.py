@@ -242,6 +242,14 @@ SELECT vec_id, centroid_id, dot_q FROM scored WHERE rn = 1
 # public API entry, oracle-checked via the EXTRA registry + pytest.
 
 _IVF_TOPK = 5
+# hot-list guard: every (query, candidate) pair of one inverted list lands
+# in ONE task of the centroid_id equi-join, so a degenerate quantizer cell
+# holding a large fraction of the corpus becomes a single-task
+# near-brute-force scan.  Lists above this size are excluded from probe
+# results (production IVF re-trains or splits such cells); the cap is
+# part of the query definition, mirrored in the oracle, like _MAX_BUCKET.
+# Test-scale lists hold ~100 vectors, far below it.
+_MAX_IVF_LIST = 4096
 
 
 def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
@@ -253,7 +261,9 @@ def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     nprobe; recall lost to a query landing just inside the wrong Voronoi
     cell is recovered by probing runner-up lists.  A (query, neighbor)
     pair cannot duplicate: neighbors live in exactly one list while the
-    query's probe lists are distinct.
+    query's probe lists are distinct.  Lists above _MAX_IVF_LIST are
+    excluded from probe results before the join (hot-list guard — see
+    the constant's comment).
 
     The quantized vectors feed the centroid ranking AND both exact-dot
     join sides, and the ranked frame feeds the query and candidate
@@ -291,6 +301,13 @@ def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     cands = ranked.where(
         (F.col("rn") == 1) & (F.col("vec_id") % _QMOD != 0)
     ).select(F.col("vec_id").alias("neighbor_id"), "centroid_id")
+    ok_lists = (
+        cands.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("_l_n"))
+        .where(F.col("_l_n") <= _MAX_IVF_LIST)
+        .select("centroid_id")
+    )
+    cands = cands.join(ok_lists, "centroid_id", "left_semi")
     pairs = (
         queries.join(cands, "centroid_id")
         .join(
@@ -348,8 +365,12 @@ WITH q AS (
 ), queries AS (
   SELECT vec_id AS query_id, centroid_id FROM ranked WHERE vec_id % {_QMOD} = 0
 ), cands AS (
-  SELECT vec_id AS neighbor_id, centroid_id FROM ranked
-  WHERE rn = 1 AND vec_id % {_QMOD} != 0
+  SELECT neighbor_id, centroid_id FROM (
+    SELECT vec_id AS neighbor_id, centroid_id,
+           COUNT(*) OVER (PARTITION BY centroid_id) AS lsz
+    FROM ranked
+    WHERE rn = 1 AND vec_id % {_QMOD} != 0
+  ) WHERE lsz <= {_MAX_IVF_LIST}
 ), scored AS (
   SELECT p.query_id, p.neighbor_id,
          CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot_q
@@ -544,14 +565,38 @@ FROM hits
 # --- event sessionization (window/analytic coverage) -----------------------------------
 
 _SESSION_GAP_MIN = 30
+# mega-user guard: per-user time ordering is inherently one task per key,
+# so a bot emitting 10^10 events would serialize a 10^12-event run onto
+# one straggler.  Users above this count are EXCLUDED (a 100k-event user
+# against a 30-min session gap is nonstop machine traffic, not a session
+# stream); the cap is part of the query definition, mirrored in the
+# oracle, like _MAX_BUCKET.  At the test SFs no user approaches it.
+_MAX_USER_EVENTS = 100_000
+
+
+def _bounded_users(events: DataFrame) -> DataFrame:
+    """Events of users with <= _MAX_USER_EVENTS rows: one map-side-
+    combined count per user, then a co-partitioned left-semi join (same
+    user_id key the downstream window shuffles on — AQE picks broadcast
+    only if the survivor set is small; user cardinality at corpus scale
+    is billions, so no forced broadcast here, unlike the source-quota
+    guard where sources are few)."""
+    ok = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_u_n"))
+        .where(F.col("_u_n") <= _MAX_USER_EVENTS)
+        .select("user_id")
+    )
+    return events.join(ok, "user_id", "left_semi")
 
 
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts after a >30-min gap;
     classic lag + cumulative-sum window composition, then per-session
     rollup.  At scale this is one shuffle on user_id with in-partition
-    ordering."""
-    events = _read(spark, sf_dir, "events")
+    ordering; the _MAX_USER_EVENTS guard (in the plan, oracle-mirrored)
+    bounds the largest per-user partition."""
+    events = _bounded_users(_read(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts is TIMESTAMP_NTZ; only gap *differences* matter, so any fixed
     # epoch base cancels out in the subtraction
@@ -573,12 +618,16 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SESSIONIZE_SQL = f"""
-WITH flagged AS (
+WITH bounded AS (
+  SELECT * FROM events
+  WHERE user_id IN (SELECT user_id FROM events
+                    GROUP BY user_id HAVING COUNT(*) <= {_MAX_USER_EVENTS})
+), flagged AS (
   SELECT user_id, event_id, value, ts,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > {_SESSION_GAP_MIN * 60}
               THEN 1 ELSE 0 END AS new_s
-  FROM events
+  FROM bounded
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, event_id, value,
