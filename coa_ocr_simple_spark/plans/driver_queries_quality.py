@@ -157,6 +157,15 @@ FROM linestats l LEFT JOIN bgstats s USING (doc_id)
 # --- exact 13-gram train/eval decontamination ---------------------------------------------
 
 _DECON_N = 13  # GPT-3 appendix C: 13-token overlap => contaminated
+# hot-gram guard: the eval x train equi-join on the gram hash fans out
+# |eval occurrences| x |train occurrences| PER GRAM in one task — a
+# boilerplate sentence present in 10^8 train docs would explode a single
+# join key.  Grams in more than this many TRAIN docs are excluded (an
+# ultra-common gram is boilerplate, not leakage — the per-doc overlap it
+# would add is noise, and genuinely contaminated docs still surface via
+# their rarer grams).  Part of the query definition, oracle-mirrored,
+# like _MAX_BUCKET.  Far above any gram frequency at the test SFs.
+_MAX_GRAM_TRAIN_DOCS = 1000
 
 
 def _token_grams(docs: DataFrame, n: int) -> DataFrame:
@@ -191,6 +200,16 @@ def gram_decontamination(docs: DataFrame, n: int = _DECON_N) -> DataFrame:
     tr = grams.where(F.col("doc_id") % 10 != 0).select(
         F.col("doc_id").alias("train_doc_id"), "g"
     )
+    # hot-gram guard (see _MAX_GRAM_TRAIN_DOCS): distinct-doc count per
+    # gram is a map-side-combinable aggregate over the persisted grams;
+    # the semi-join keys the same column the pair join shuffles on
+    ok_grams = (
+        tr.groupBy("g")
+        .agg(F.count_distinct("train_doc_id").alias("_g_n"))
+        .where(F.col("_g_n") <= _MAX_GRAM_TRAIN_DOCS)
+        .select("g")
+    )
+    tr = tr.join(ok_grams, "g", "left_semi")
     return (
         ev.join(tr, "g")
         .groupBy("eval_doc_id")
@@ -215,11 +234,15 @@ WITH toks AS (
   SELECT doc_id AS eval_doc_id, g FROM grams WHERE doc_id % 10 = 0
 ), tr AS (
   SELECT doc_id AS train_doc_id, g FROM grams WHERE doc_id % 10 != 0
+), bounded_tr AS (
+  SELECT train_doc_id, g FROM tr
+  WHERE g IN (SELECT g FROM tr GROUP BY g
+              HAVING COUNT(DISTINCT train_doc_id) <= {_MAX_GRAM_TRAIN_DOCS})
 )
 SELECT eval_doc_id,
        COUNT(DISTINCT g) AS n_overlap_grams,
        COUNT(DISTINCT train_doc_id) AS n_train_docs
-FROM ev JOIN tr USING (g)
+FROM ev JOIN bounded_tr USING (g)
 GROUP BY eval_doc_id
 """
 

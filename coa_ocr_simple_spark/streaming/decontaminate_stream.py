@@ -33,7 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.driver_queries_quality import _DECON_N, _token_grams
+from ..plans.driver_queries_quality import (
+    _DECON_N,
+    _MAX_GRAM_TRAIN_DOCS,
+    _token_grams,
+)
 from .dedup_stream import DOCUMENTS_FLAT
 
 
@@ -42,10 +46,20 @@ def train_grams(train_docs: DataFrame, n: int = _DECON_N) -> DataFrame:
 
     Materialize once (``.write.parquet`` — or bucketBy('g') under a
     catalog): recomputing grams per micro-batch would re-pay the
-    tokenize cost on the big side every batch."""
-    return _token_grams(train_docs, n).select(
+    tokenize cost on the big side every batch.  The hot-gram guard
+    (_MAX_GRAM_TRAIN_DOCS — same constant, same semantics as the batch
+    gram_decontamination query) is applied at BUILD time, so each
+    micro-batch join is bounded per gram key for free."""
+    g = _token_grams(train_docs, n).select(
         "g", F.col("doc_id").alias("train_doc_id")
     )
+    ok = (
+        g.groupBy("g")
+        .agg(F.count_distinct("train_doc_id").alias("_g_n"))
+        .where(F.col("_g_n") <= _MAX_GRAM_TRAIN_DOCS)
+        .select("g")
+    )
+    return g.join(ok, "g", "left_semi")
 
 
 def flag_contaminated(candidates: DataFrame, static_grams: DataFrame) -> DataFrame:

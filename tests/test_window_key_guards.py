@@ -112,3 +112,14 @@ def test_nprobe_two_recall_at_least_nprobe_one(spark):
     rec2 = len(truth & r2) / len(truth)
     assert rec2 >= rec1
     assert rec2 > 0
+
+
+def test_hot_gram_cap_is_live(spark, monkeypatch):
+    """gram_decontamination's eval x train join is bounded per gram key:
+    with cap=0 every train gram is excluded and no overlap survives;
+    with the default cap the sf0.001 result is untouched (oracle gate)."""
+    import coa_ocr_simple_spark.plans.driver_queries_quality as q
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    monkeypatch.setattr(q, "_MAX_GRAM_TRAIN_DOCS", 0)
+    assert q.gram_decontamination(docs).count() == 0
