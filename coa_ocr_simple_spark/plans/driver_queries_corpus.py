@@ -340,11 +340,17 @@ def winnow_fps(docs: DataFrame) -> DataFrame:
     n_h = F.size("codes") - F.lit(_WIN_K - 1)  # number of k-grams
 
     def kgram_hash(i):
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(_WIN_K - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, j: (acc * _WIN_B + F.get(F.col("codes"), (i + j).cast("int"))) % _WIN_M,
-        )
+        # flat Horner polynomial, ONE mod at the end — value-identical to
+        # the per-step-modded fold ((x % M * B + c) % M == (x*B + c) % M)
+        # and overflow-safe: max_codepoint * B^(k-1) * (1 + 1/B + ...)
+        # ≈ 4.9e15 << 2^63.  Replaces a per-position interpreted
+        # F.aggregate fold (its lambda machinery dominated the per-char
+        # cost) with k gets + k-1 multiply-adds.
+        acc = None
+        for j in range(_WIN_K):
+            g = F.get(F.col("codes"), (i + j).cast("int")).cast("long")
+            acc = g if acc is None else acc * _WIN_B + g
+        return acc % _WIN_M
 
     # size(codes) == length(text) for non-empty text; empty text splits
     # to [''] (size 1), still far below the eligibility floor

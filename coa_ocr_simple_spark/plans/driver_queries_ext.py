@@ -436,28 +436,41 @@ _SIMHASH_BITS = 16
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over whitespace tokens: bit i is the majority vote of
     the low bit of hex digit i of md5(token).  Near-duplicate docs differ
-    in O(1) bits; exact duplicates agree exactly."""
+    in O(1) bits; exact duplicates agree exactly.
+
+    Shape (round 4): tokens EXPLODE to rows and the 16 bit votes are 16
+    sum() aggregates in ONE codegen'd hash aggregation with map-side
+    combine — the shuffle carries 16 longs per doc, aggregation memory
+    is constant per doc regardless of length, and the whole vote loop
+    runs in generated JVM code (the previous form held an md5-per-token
+    array per ROW and ran 16 interpreted fold scans over it: ~10 MB of
+    transient array per 1 MB doc and 5x the CPU — the same hazard class
+    the round-3 minhash rewrite removed).  Empty/whitespace-only docs
+    keep an all-'0' signature via the left join."""
     docs = _read(spark, sf_dir, "documents")
+    base = docs.select("doc_id")
     tokens = F.when(F.length(F.trim(F.col("text"))) == 0, F.array()).otherwise(
         F.split(F.trim(F.col("text")), r"\s+")
     )
-    # materialize the md5-per-token array in its own projection — the 16
-    # bit-vote aggregates below each reference it, and CollapseProject
-    # must not re-inline the digest computation 16x per row
-    hashed = docs.select(
-        "doc_id", F.transform(tokens, lambda t: F.md5(t)).alias("hs")
+    tok_rows = docs.select("doc_id", F.explode(tokens).alias("t")).select(
+        "doc_id", F.md5("t").alias("h")
     )
-    bits = []
-    for i in range(_SIMHASH_BITS):
-        votes = F.aggregate(
-            F.col("hs"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + (_hex_val(F.substring(h, i + 1, 1)) % 2) * 2
-            - 1,
-        )
-        bits.append(F.when(votes > 0, F.lit("1")).otherwise(F.lit("0")))
-    return hashed.select("doc_id", F.concat(*bits).alias("simhash"))
+    votes = tok_rows.groupBy("doc_id").agg(
+        *[
+            F.sum((_hex_val(F.substring("h", i + 1, 1)) % 2) * 2 - 1).alias(
+                f"_v{i}"
+            )
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"_v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(_SIMHASH_BITS)
+    ]
+    return base.join(votes, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.concat(*bits), F.lit("0" * _SIMHASH_BITS)).alias("simhash"),
+    )
 
 
 def _simhash_sql() -> str:
