@@ -470,6 +470,7 @@ def _cc_loop(both: DataFrame, max_iters: int, stats: dict | None) -> DataFrame:
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
                     "label"
                 ),
+                F.col("label").alias("_old"),
             )
         )
         # pointer jump: follow my (new) label to ITS current label — the
@@ -485,18 +486,19 @@ def _cc_loop(both: DataFrame, max_iters: int, stats: dict | None) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce("l_label", F.col("label"))
                 ).alias("label"),
+                F.col("_old"),
             )
         )
-        # truncate lineage every round: constant-depth plans, and the
-        # convergence join below reads two materialized label sets
-        new_labels = jumped.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # truncate lineage every round (constant-depth plans) and carry a
+        # per-row changed flag INTO the checkpoint: the convergence check
+        # is then a filter-count over the materialized rows instead of a
+        # distributed join of the old and new label sets — one fewer
+        # shuffle join per round, ~log2(diameter) rounds saved per run
+        flagged = jumped.select(
+            "doc_id", "label", (F.col("label") != F.col("_old")).alias("_chg")
+        ).localCheckpoint(eager=True)
+        changed = flagged.where(F.col("_chg")).count()
+        labels = flagged.select("doc_id", "label")
         if changed == 0:
             converged = True
             break
