@@ -4,7 +4,9 @@ funnel as a runnable job:
     quality gate (language/stopword/length)
       -> exact dedup (md5 content hash, min-doc_id representative)
       -> near-dup removal (MinHash-LSH candidates, hot-bucket capped,
-         exact n-gram Jaccard >= threshold drops the larger doc_id)
+         exact n-gram Jaccard >= threshold drops the larger doc_id; or,
+         with --cluster-reps, keeps one representative per connected
+         component of the pair graph)
 
 Usage:
   python -m coa_ocr_simple_spark.jobs.curate \\
@@ -35,7 +37,7 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
     docs = io.read(args.input)
 
     quality, surviving_exact, final = curation_stages(
-        docs, jaccard_min=args.jaccard_min
+        docs, jaccard_min=args.jaccard_min, cluster_reps=args.cluster_reps
     )
     final = final.persist()  # feeds the count, the write, and the report
 
@@ -48,13 +50,14 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         "n_after_exact_dedup": surviving_exact.count(),
         "n_curated": final.count(),
         "jaccard_min": args.jaccard_min,
+        "near_dup_policy": "cluster_reps" if args.cluster_reps else "pair_loser",
     }
     if args.report:
         report = spark.createDataFrame(
             [
                 (stage, int(n))
                 for stage, n in summary.items()
-                if stage != "jaccard_min"
+                if stage not in ("jaccard_min", "near_dup_policy")
             ],
             "stage string, n_docs long",
         )
@@ -68,6 +71,14 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--output", required=True, help="curated-documents table/path")
     p.add_argument("--report", default=None, help="stage-counts table/path")
     p.add_argument("--jaccard-min", type=int, default=_FUNNEL_JACCARD_MIN)
+    p.add_argument(
+        "--cluster-reps",
+        action="store_true",
+        help="keep ONE representative (min doc_id) per near-dup connected "
+        "component instead of dropping doc_b of every pair — the "
+        "group-level dedup policy (connected components over the "
+        ">= threshold Jaccard pair graph)",
+    )
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--conf", action="append", default=[])

@@ -588,10 +588,23 @@ FROM reach GROUP BY doc_id
 _FUNNEL_JACCARD_MIN = 80  # near-dup drop threshold (percent)
 
 
-def curation_stages(docs: DataFrame, jaccard_min: int = _FUNNEL_JACCARD_MIN):
+def curation_stages(
+    docs: DataFrame,
+    jaccard_min: int = _FUNNEL_JACCARD_MIN,
+    cluster_reps: bool = False,
+):
     """The funnel's stage DataFrames over an arbitrary documents-shaped
     input: (quality survivors, post-exact-dedup survivors, final curated
     doc_ids).  Shared by the driver query and jobs/curate.py.
+
+    ``cluster_reps=False`` (default, the oracle-checked funnel): drop
+    doc_b of every >= threshold pair — no surviving pair is a near-dup
+    pair, but two docs that are both similar to a third (yet not to each
+    other) both survive.  ``cluster_reps=True``: connected components
+    over the pair graph keep exactly ONE representative (min doc_id) per
+    duplicate group — the group-level policy production pipelines use.
+    The CC loop executes eagerly at build time (driver-side rounds),
+    which is why the flag lives on the job, not on a driver query.
 
     The quality and post-exact-dedup survivor sets each feed two
     consumers (their own stage count + the next stage); both are
@@ -618,13 +631,16 @@ def curation_stages(docs: DataFrame, jaccard_min: int = _FUNNEL_JACCARD_MIN):
     exact_reps = dedup_exact(docs).select(
         F.col("representative_doc_id").alias("doc_id")
     )
-    # no distinct: the left-anti consumer is set-semantics already, and
-    # the dedup would cost one more shuffle of the loser ids
-    neardup_losers = (
-        ngram_jaccard_pairs(docs)
-        .where(F.col("jaccard_pct") >= jaccard_min)
-        .select(F.col("doc_b").alias("doc_id"))
-    )
+    pairs = ngram_jaccard_pairs(docs).where(F.col("jaccard_pct") >= jaccard_min)
+    if cluster_reps:
+        clusters = connected_components(pairs.select("doc_a", "doc_b"))
+        neardup_losers = clusters.where(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select("doc_id")
+    else:
+        # no distinct: the left-anti consumer is set-semantics already,
+        # and the dedup would cost one more shuffle of the loser ids
+        neardup_losers = pairs.select(F.col("doc_b").alias("doc_id"))
     surviving_exact = quality.join(exact_reps, "doc_id", "left_semi").persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -50,6 +50,7 @@ def test_curate_funnel_stages_and_output(spark, tmp_path):
         "n_after_exact_dedup": 23,  # 5 exact dups collapsed to doc 0
         "n_curated": 20,  # 3 near-dups of doc 1 dropped
         "jaccard_min": 80,
+        "near_dup_policy": "pair_loser",
     }
     curated = spark.read.parquet(out)
     assert sorted(r["doc_id"] for r in curated.collect()) == list(range(20))
@@ -74,3 +75,33 @@ def test_curate_jaccard_threshold_disables_neardup_stage(spark, tmp_path):
         spark,
     )
     assert summary["n_curated"] == summary["n_after_exact_dedup"] == 23
+
+
+def test_curate_cluster_reps_keeps_one_per_component(spark, tmp_path):
+    """--cluster-reps: near-dup removal keeps exactly ONE representative
+    (min doc_id) per connected component of the pair graph — on this
+    corpus (docs 25-27 all near-dups of doc 1, one component) the result
+    matches the pair rule, and the one-rep-per-cluster property holds."""
+    from coa_ocr_simple_spark.plans.driver_queries_dedup import neardup_clusters
+
+    docs_path = _corpus(tmp_path)
+    out = str(tmp_path / "curated_cr")
+    summary = run(
+        parse_args(
+            ["--input", docs_path, "--output", out, "--cluster-reps"]
+        ),
+        spark,
+    )
+    assert summary["near_dup_policy"] == "cluster_reps"
+    assert summary["n_curated"] == 20
+    curated = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert curated == set(range(20))
+
+    # property: for every near-dup component, at most its min-id member
+    # survives — and it does survive when it passed the earlier stages
+    clusters = neardup_clusters(spark.read.parquet(docs_path)).collect()
+    by_cluster: dict = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    for rep, members in by_cluster.items():
+        assert curated & members <= {rep}
