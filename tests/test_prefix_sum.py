@@ -127,3 +127,26 @@ def test_packing_split_invariants(spark):
     assert set(fill) == set(range(last + 1))  # contiguous bin ids from 0
     assert all(v == B for b, v in fill.items() if b != last)
     assert 1 <= fill[last] <= B
+
+
+def test_prefix_sum_property_random(spark, monkeypatch):
+    """Property check against the obvious Python reference over random
+    sparse key sets, with widths small enough to force multiple scan
+    levels (hypothesis-style, seed-pinned for reproducibility)."""
+    import random
+
+    rng = random.Random(20240817)
+    monkeypatch.setattr(q, "_SCAN_W", 8)
+    monkeypatch.setattr(q, "_SCAN_BASE", 4)
+    for trial in range(1):
+        n = rng.randint(40, 90)
+        # key span sized so buckets actually merge across levels (a 2^40
+        # span makes every key its own bucket chain -> 5+ slow levels)
+        keys = rng.sample(range(0, 1500), n)
+        vals = {k: rng.randint(0, 10_000) for k in keys}
+        rows = spark.createDataFrame(sorted(vals.items()), ["k", "v"])
+        out = {
+            r["k"]: r["off"]
+            for r in q._int_prefix_offsets(rows, "k", "v").collect()
+        }
+        assert out == _expected(vals), f"trial {trial}, n={n}"
