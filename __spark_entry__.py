@@ -93,12 +93,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from coa_ocr_simple_spark.plans.driver_queries_corpus import QUERIES_CORPUS
     from coa_ocr_simple_spark.plans.driver_queries_dedup import QUERIES_DEDUP
     from coa_ocr_simple_spark.plans.driver_queries_ext import QUERIES_EXT
+    from coa_ocr_simple_spark.plans.driver_queries_mix import QUERIES_MIX
     from coa_ocr_simple_spark.plans.driver_queries_quality import QUERIES_QUALITY
     from coa_ocr_simple_spark.plans.driver_queries_rel import QUERIES_REL
 
     return {
         **QUERIES,
         **QUERIES_QUALITY,
+        **QUERIES_MIX,
         **QUERIES_EXT,
         **QUERIES_DEDUP,
         **QUERIES_REL,
@@ -113,12 +115,14 @@ def oracle_sql() -> dict[str, str]:
     from coa_ocr_simple_spark.plans.driver_queries_corpus import ORACLES_CORPUS
     from coa_ocr_simple_spark.plans.driver_queries_dedup import ORACLES_DEDUP
     from coa_ocr_simple_spark.plans.driver_queries_ext import ORACLES_EXT
+    from coa_ocr_simple_spark.plans.driver_queries_mix import ORACLES_MIX
     from coa_ocr_simple_spark.plans.driver_queries_quality import ORACLES_QUALITY
     from coa_ocr_simple_spark.plans.driver_queries_rel import ORACLES_REL
 
     return {
         **ORACLES,
         **ORACLES_QUALITY,
+        **ORACLES_MIX,
         **ORACLES_EXT,
         **ORACLES_DEDUP,
         **ORACLES_REL,
@@ -133,13 +137,31 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver contract; the local gate (scripts/check_oracles.py) and
     tests/test_extra_oracles.py keep them correct."""
     from coa_ocr_simple_spark.plans.driver_queries_ext import EXTRA_QUERIES_EXT
+    from coa_ocr_simple_spark.plans.driver_queries_mix import EXTRA_QUERIES_MIX
+    from coa_ocr_simple_spark.plans.driver_queries_quality import (
+        EXTRA_QUERIES_QUALITY,
+    )
     from coa_ocr_simple_spark.plans.driver_queries_rel import EXTRA_QUERIES_REL
 
-    return {**EXTRA_QUERIES_EXT, **EXTRA_QUERIES_REL}
+    return {
+        **EXTRA_QUERIES_EXT,
+        **EXTRA_QUERIES_REL,
+        **EXTRA_QUERIES_QUALITY,
+        **EXTRA_QUERIES_MIX,
+    }
 
 
 def extra_oracle_sql() -> dict[str, str]:
     from coa_ocr_simple_spark.plans.driver_queries_ext import EXTRA_ORACLES_EXT
+    from coa_ocr_simple_spark.plans.driver_queries_mix import EXTRA_ORACLES_MIX
+    from coa_ocr_simple_spark.plans.driver_queries_quality import (
+        EXTRA_ORACLES_QUALITY,
+    )
     from coa_ocr_simple_spark.plans.driver_queries_rel import EXTRA_ORACLES_REL
 
-    return {**EXTRA_ORACLES_EXT, **EXTRA_ORACLES_REL}
+    return {
+        **EXTRA_ORACLES_EXT,
+        **EXTRA_ORACLES_REL,
+        **EXTRA_ORACLES_QUALITY,
+        **EXTRA_ORACLES_MIX,
+    }

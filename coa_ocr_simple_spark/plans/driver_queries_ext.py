@@ -658,7 +658,6 @@ FROM numbered GROUP BY user_id, session_seq
 
 
 QUERIES_EXT = {
-    "ann_topk": q_ann_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf_search": q_ann_ivf_search,
     "bpe_token_stats": q_bpe_token_stats,
@@ -668,7 +667,6 @@ QUERIES_EXT = {
 }
 
 ORACLES_EXT = {
-    "ann_topk": _ANN_TOPK_SQL,
     "ann_lsh_bucketed": _lsh_sql(),
     "ann_ivf_search": _ivf_search_sql(1),
     "bpe_token_stats": _BPE_SQL,
@@ -685,9 +683,12 @@ ORACLES_EXT = {
 EXTRA_QUERIES_EXT = {
     "ann_ivf_assign": q_ann_ivf_assign,  # subsumed: the search oracle embeds it
     "ann_ivf_search_p2": q_ann_ivf_search_p2,  # parameter variant of ann_ivf_search
+    "ann_topk": q_ann_topk,  # brute-force exact-recall baseline (r4: yields its
+    # slot to the wave-7 ops; the ANN family keeps lsh_bucketed + ivf_search)
 }
 
 EXTRA_ORACLES_EXT = {
     "ann_ivf_assign": _IVF_SQL,
     "ann_ivf_search_p2": _ivf_search_sql(2),
+    "ann_topk": _ANN_TOPK_SQL,
 }

@@ -1,0 +1,296 @@
+"""Wave-7 driver queries: corpus composition + export operators (round 4).
+
+Three operators a production training-data build runs between dedup and
+the trainer, each scale-shaped and DuckDB-oracled:
+
+- ``block_dedup_stats``   — ExactSubstr-flavored token-block dedup
+  (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  Better"): hash non-overlapping ``_BLOCK_W``-token blocks, find blocks
+  repeated anywhere in the corpus, and mark every non-canonical
+  occurrence droppable.  Complements the doc-level families (exact md5,
+  MinHash, SimHash): those catch whole-document near-dups; this catches
+  a boilerplate paragraph pasted into a million otherwise-distinct docs.
+- ``lang_mixture_sample`` — temperature-based language rebalancing
+  (the multilingual-pretraining sampler of XLM-R/mT5, alpha = 0.5):
+  per-language keep-rate sqrt(n_min / n_lang), so expected kept mass is
+  sqrt(n_min * n_lang) — proportional to n_lang^alpha.  Deterministic
+  and EXACT in both engines: the keep decision is an integer
+  cross-multiplication on a squared md5 prefix, no rand(), no floats.
+- ``shard_manifest``      — deterministic shuffle-shard assignment for
+  training export: shard = md5-prefix % _N_SHARDS, within-shard order =
+  md5 hex of the doc id.  The manifest (counts + integer checksum +
+  key range per shard) is the small control table a 10^12-doc export
+  job publishes so a trainer can verify shard completeness without
+  reading the data.  ``write_sharded`` is the matching writer
+  (repartition on shard + sortWithinPartitions — one shuffle, no
+  global sort, byte-deterministic output).
+
+Scale notes (100 TB): block_dedup is explode -> one hash aggregation on
+the block hash (map-side combine; shuffle carries 1 md5 per 20 tokens,
+~1/100th of the text) -> equi-join back.  The mixture sampler is a
+broadcast of the per-language counts (|langs| rows) over a scan — zero
+windows, zero extra shuffles.  The shard manifest is a single hash
+aggregation on a 16-bit-derived key; the writer's only shuffle is the
+repartition on shard_id.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .driver_queries import _docs
+from .driver_queries_quality import _md5_prefix_sql, _md5_prefix_val
+
+# --- ExactSubstr-style token-block dedup --------------------------------------------------
+
+_BLOCK_W = 20  # tokens per non-overlapping block (production would use ~50)
+
+
+def block_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc block-duplication stats: (doc_id, n_blocks,
+    n_shared_blocks, n_drop_blocks).
+
+    n_shared_blocks counts blocks whose hash occurs >= 2 times anywhere
+    in the corpus (cross-doc boilerplate or in-doc repetition);
+    n_drop_blocks counts this doc's occurrences that are NOT the
+    canonical first occurrence (lexicographic min over (doc_id,
+    block_idx)) — exactly the spans an ExactSubstr pass would cut.
+    Docs with fewer than _BLOCK_W tokens emit no row (no full block).
+    """
+    # token array materialized once per row; referenced >= 2x in the
+    # consuming projection (size + the HOF lambda) so CollapseProject
+    # cannot inline the split into the lambda, where it would re-run
+    # per block (the documented O(len^2) hazard).
+    pre = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    n_blocks = F.floor(F.size("t") / _BLOCK_W).cast("int")
+    blocks = F.when(
+        n_blocks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("t"), i * _BLOCK_W + 1, F.lit(_BLOCK_W))
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    withb = pre.select("doc_id", F.size("t").alias("_nt"), blocks.alias("bs"))
+
+    # exploded occurrences feed TWO independent consumers (the firsts
+    # aggregate and the join-back) — persist with an eager fill or the
+    # explode + md5 chain executes twice (no cross-branch CSE).
+    occ = withb.select(
+        "doc_id", F.posexplode("bs").alias("block_idx", "bh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    occ.count()
+
+    firsts = occ.groupBy("bh").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("doc_id", "block_idx")).alias("first_occ"),
+    )
+    is_first = (F.col("first_occ.doc_id") == F.col("doc_id")) & (
+        F.col("first_occ.block_idx") == F.col("block_idx")
+    )
+    return (
+        occ.join(firsts, "bh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_blocks"),
+            F.sum(F.when(~is_first, 1).otherwise(0))
+            .cast("long")
+            .alias("n_drop_blocks"),
+        )
+    )
+
+
+def q_block_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return block_dedup_stats(_docs(spark, sf_dir))
+
+
+_BLOCK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(TRIM(text)), '\\s+') AS t
+  FROM documents
+), occ AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS block_idx,
+         md5(array_to_string(
+           t[CAST(i * {_BLOCK_W} + 1 AS BIGINT):CAST((i + 1) * {_BLOCK_W} AS BIGINT)],
+           ' ')) AS bh
+  FROM toks,
+       unnest(range(0, CAST(FLOOR(len(t) / {_BLOCK_W}) AS BIGINT))) AS r(i)
+), firsts AS (
+  SELECT bh, COUNT(*) AS n_occ, MIN(ROW(doc_id, block_idx)) AS first_occ
+  FROM occ GROUP BY bh
+)
+SELECT o.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_blocks,
+       CAST(SUM(CASE WHEN ROW(o.doc_id, o.block_idx) <> f.first_occ
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_blocks
+FROM occ o JOIN firsts f USING (bh)
+GROUP BY o.doc_id
+"""
+
+
+# --- temperature-based language mixture sampling ------------------------------------------
+
+_MIX_SCALE = 65536  # md5 4-hex-prefix domain (same recipe as source_quota_sample)
+
+
+def lang_mixture_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic alpha=0.5 temperature rebalancing across languages:
+    keep each doc of language l with rate sqrt(n_min / n_l), where n_l
+    is l's corpus count and n_min the smallest language's.  Expected
+    kept count per language is sqrt(n_min * n_l) — i.e. proportional to
+    n_l^0.5, the XLM-R-style mixture that upsamples (keeps all of)
+    low-resource languages and downsamples the head language.
+
+    The keep decision is EXACT integer math (mirrored verbatim in the
+    DuckDB oracle): with p = the 4-hex md5(doc_id) prefix in
+    [0, 65536), keep iff
+
+        p^2 * n_l < 65536^2 * n_min
+
+    which is algebraically p < 65536 * sqrt(n_min / n_l) without ever
+    computing a float sqrt — no rounding-boundary disagreement between
+    engines, ever.  Both sides run in DECIMAL (Spark) / HUGEINT
+    (DuckDB): p^2 < 2^32 times an n up to 10^18 stays inside 30 digits,
+    so the predicate is overflow-safe at any real corpus size.
+
+    Scale shape: one tiny groupBy(lang) aggregate broadcast back over
+    the scan; no window, no extra shuffle, trivially skew-immune.
+    """
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("_lang_n"))
+    n_min = counts.agg(F.min("_lang_n").alias("_n_min"))
+    joined = docs.join(F.broadcast(counts), "lang").crossJoin(F.broadcast(n_min))
+    p = _md5_prefix_val(F.col("doc_id")).cast("decimal(5,0)")
+    lhs = (p * p) * F.col("_lang_n").cast("decimal(18,0)")
+    rhs = F.lit(_MIX_SCALE * _MIX_SCALE).cast("decimal(11,0)") * F.col(
+        "_n_min"
+    ).cast("decimal(18,0)")
+    return joined.where(lhs < rhs).select("doc_id", "lang")
+
+
+def q_lang_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_mixture_sample(_docs(spark, sf_dir))
+
+
+def _mixture_sql() -> str:
+    p = _md5_prefix_sql("md5(CAST(d.doc_id AS VARCHAR))")
+    return f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS lang_n FROM documents GROUP BY lang
+), mn AS (
+  SELECT MIN(lang_n) AS n_min FROM counts
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN counts c USING (lang), mn
+WHERE CAST({p} AS HUGEINT) * {p} * c.lang_n
+    < CAST({_MIX_SCALE} AS HUGEINT) * {_MIX_SCALE} * mn.n_min
+"""
+
+
+# --- deterministic shard assignment + manifest --------------------------------------------
+
+_N_SHARDS = 64  # a parameter in production (1k-100k shards at 10^12 docs)
+
+
+def _shard_cols(docs: DataFrame, n_shards: int = _N_SHARDS) -> DataFrame:
+    """(doc_id, shard_id, sort_key, _p): the deterministic global
+    shuffle.  shard_id spreads docs uniformly (md5 prefix mod), and
+    sort_key (the full md5 hex) orders docs WITHIN a shard — together a
+    reproducible corpus-wide permutation with no global sort."""
+    p = _md5_prefix_val(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        (p % n_shards).cast("long").alias("shard_id"),
+        F.md5(F.col("doc_id").cast("string")).alias("sort_key"),
+        p.cast("long").alias("_p"),
+    )
+
+
+def shard_manifest(docs: DataFrame, n_shards: int = _N_SHARDS) -> DataFrame:
+    """Per-shard control row: (shard_id, n_docs, checksum, first_key,
+    last_key).  checksum = sum of the 16-bit md5 prefixes (exact
+    integer) — a trainer (or a resumed export) verifies a shard file
+    against this without re-reading the corpus.  One hash aggregation
+    on an n_shards-valued key; output is n_shards rows regardless of
+    scale."""
+    return (
+        _shard_cols(docs, n_shards)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_p").cast("long").alias("checksum"),
+            F.min("sort_key").alias("first_key"),
+            F.max("sort_key").alias("last_key"),
+        )
+    )
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_manifest(_docs(spark, sf_dir))
+
+
+def _manifest_sql() -> str:
+    p = _md5_prefix_sql("md5(CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST({p} % {_N_SHARDS} AS BIGINT) AS shard_id,
+         md5(CAST(doc_id AS VARCHAR)) AS sort_key,
+         CAST({p} AS BIGINT) AS p
+  FROM documents
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p) AS BIGINT) AS checksum,
+       MIN(sort_key) AS first_key,
+       MAX(sort_key) AS last_key
+FROM s GROUP BY shard_id
+"""
+
+
+def write_sharded(
+    docs: DataFrame, out_path: str, n_shards: int = _N_SHARDS
+) -> None:
+    """Deterministic sharded export: one shuffle (repartition on
+    shard_id), per-partition sort on (sort_key, doc_id) — never a
+    global sort — written as shard_id=NN/ parquet directories.  Two
+    runs over the same input produce identical shard contents, so a
+    trainer's data order is reproducible and shards can be verified
+    against shard_manifest()."""
+    cols = _shard_cols(docs, n_shards).drop("_p")
+    (
+        docs.join(cols, "doc_id")
+        .repartition(n_shards, "shard_id")
+        # shard_id leads the sort: FileFormatWriter requires rows sorted
+        # by the partitionBy columns and would otherwise insert its own
+        # NON-STABLE Sort(shard_id), destroying the sort_key order
+        .sortWithinPartitions("shard_id", "sort_key", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_path)
+    )
+
+
+QUERIES_MIX = {
+    "block_dedup_stats": q_block_dedup_stats,
+    "lang_mixture_sample": q_lang_mixture_sample,
+}
+
+ORACLES_MIX = {
+    "block_dedup_stats": _BLOCK_SQL,
+    "lang_mixture_sample": _mixture_sql(),
+}
+
+EXTRA_QUERIES_MIX = {"shard_manifest": q_shard_manifest}
+EXTRA_ORACLES_MIX = {"shard_manifest": _manifest_sql()}

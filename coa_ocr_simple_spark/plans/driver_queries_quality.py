@@ -664,7 +664,6 @@ QUERIES_QUALITY = {
     "gram_decontamination": q_gram_decontamination,
     "source_quota_sample": q_source_quota_sample,
     "edit_distance_pairs": q_edit_distance_pairs,
-    "sequence_packing": q_sequence_packing,
     "sequence_packing_split": q_sequence_packing_split,
     "stratified_sample": q_stratified_sample,
 }
@@ -674,7 +673,13 @@ ORACLES_QUALITY = {
     "gram_decontamination": _DECON_SQL,
     "source_quota_sample": _QUOTA_SQL,
     "edit_distance_pairs": _edit_distance_sql(),
-    "sequence_packing": _PACKING_SQL,
     "sequence_packing_split": _PACKING_SPLIT_SQL,
     "stratified_sample": _stratified_sql(),
 }
+
+# Demoted from the 50-entry driver registry (round 4): the plain
+# contiguous-offset packing is the mode variant of sequence_packing_split
+# (same distributed prefix-sum machinery; split is the trainer-consumable
+# superset).  Still oracle-green via check_oracles + test_extra_oracles.
+EXTRA_QUERIES_QUALITY = {"sequence_packing": q_sequence_packing}
+EXTRA_ORACLES_QUALITY = {"sequence_packing": _PACKING_SQL}

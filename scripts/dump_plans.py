@@ -107,6 +107,30 @@ def main() -> None:
         "offsets.",
     )
 
+    from coa_ocr_simple_spark.plans.driver_queries_mix import (
+        q_block_dedup_stats,
+        q_lang_mixture_sample,
+    )
+
+    cap(
+        "block_dedup_stats (ExactSubstr-style token-block dedup — round 4)",
+        q_block_dedup_stats(spark, "/root/testdata/sf0.001"),
+        "Tokens split once per row (the >=2-lexical-references guard keeps "
+        "CollapseProject from inlining the split into the block lambda); "
+        "exploded occurrences persisted with an eager fill (two consumers: "
+        "the firsts aggregate and the join-back); one shuffle on the block "
+        "hash with map-side combine — the shuffle carries 1 md5 per 20 "
+        "tokens, ~1% of the text bytes.",
+    )
+    cap(
+        "lang_mixture_sample (temperature language rebalancing — round 4)",
+        q_lang_mixture_sample(spark, "/root/testdata/sf0.001"),
+        "Per-language counts broadcast back over the scan (BroadcastHashJoin "
+        "+ one-row BroadcastNestedLoopJoin for n_min); the keep predicate is "
+        "exact integer decimal math on the squared md5 prefix — zero "
+        "windows, zero big-side shuffles, skew-immune by construction.",
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(HEADER + "\n".join(sections))
     spark.stop()

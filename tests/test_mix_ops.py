@@ -1,0 +1,155 @@
+"""Wave-7 operators (driver_queries_mix): block-level exact dedup,
+temperature language mixture sampling, deterministic shard export.
+
+DuckDB value parity at sf0.001 is covered by check_oracles /
+test_extra_oracles; these tests pin the SEMANTICS on crafted corpora
+(planted duplicates, skewed language mix) and the export determinism
+that no SQL oracle can express."""
+
+from __future__ import annotations
+
+import hashlib
+
+from coa_ocr_simple_spark.plans.driver_queries_mix import (
+    _BLOCK_W,
+    _MIX_SCALE,
+    _N_SHARDS,
+    block_dedup_stats,
+    lang_mixture_sample,
+    shard_manifest,
+    write_sharded,
+)
+
+
+def _words(seed: str, n: int) -> str:
+    return " ".join(f"{seed}{i}" for i in range(n))
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# --- block dedup --------------------------------------------------------------------------
+
+
+def test_block_dedup_finds_planted_boilerplate(spark):
+    boiler = _words("b", _BLOCK_W)  # one exact 20-token block
+    rows = [
+        (1, boiler + " " + _words("x", _BLOCK_W), "en"),  # canonical (first)
+        (2, _words("y", _BLOCK_W) + " " + boiler, "en"),  # paste at block 1
+        (3, _words("z", 2 * _BLOCK_W), "en"),  # clean
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in block_dedup_stats(_docs_df(spark, rows)).collect()
+    }
+    assert out[1]["n_blocks"] == 2
+    # doc 1 holds the canonical occurrence: shared but NOT droppable
+    assert out[1]["n_shared_blocks"] == 1
+    assert out[1]["n_drop_blocks"] == 0
+    # doc 2's copy is the non-canonical occurrence: droppable
+    assert out[2]["n_shared_blocks"] == 1
+    assert out[2]["n_drop_blocks"] == 1
+    assert out[3]["n_shared_blocks"] == 0 and out[3]["n_drop_blocks"] == 0
+
+
+def test_block_dedup_within_doc_repetition_keeps_first(spark):
+    blk = _words("r", _BLOCK_W)
+    rows = [(7, " ".join([blk, blk, blk]), "en")]
+    out = block_dedup_stats(_docs_df(spark, rows)).collect()[0]
+    assert out["n_blocks"] == 3
+    assert out["n_shared_blocks"] == 3  # all three occurrences share the hash
+    assert out["n_drop_blocks"] == 2  # first kept, two repeats cut
+
+
+def test_block_dedup_short_doc_emits_no_row(spark):
+    rows = [(9, _words("s", _BLOCK_W - 1), "en")]
+    assert block_dedup_stats(_docs_df(spark, rows)).count() == 0
+
+
+# --- language mixture sampling ------------------------------------------------------------
+
+
+def _py_prefix(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+
+
+def test_lang_mixture_matches_independent_reference(spark):
+    # skewed mix: 400 en, 25 fr  ->  r_en = sqrt(25/400) = 1/4
+    rows = [(i, f"doc {i}", "en") for i in range(400)] + [
+        (1000 + i, f"doc {i}", "fr") for i in range(25)
+    ]
+    kept = {
+        r["doc_id"]
+        for r in lang_mixture_sample(_docs_df(spark, rows)).collect()
+    }
+    counts = {"en": 400, "fr": 25}
+    n_min = 25
+    expected = {
+        doc_id
+        for doc_id, _, lang in rows
+        if _py_prefix(doc_id) ** 2 * counts[lang] < _MIX_SCALE**2 * n_min
+    }
+    assert kept == expected
+    # every doc of the smallest language survives (rate 1.0) ...
+    assert all(1000 + i in kept for i in range(25))
+    # ... and the head language lands near the 1/4 analytic rate
+    n_en = sum(1 for d in kept if d < 1000)
+    assert 60 <= n_en <= 140  # 400/4 = 100 ± hash noise
+
+
+def test_lang_mixture_uniform_corpus_is_identity(spark):
+    rows = [(i, "t", ["en", "fr"][i % 2]) for i in range(40)]
+    assert lang_mixture_sample(_docs_df(spark, rows)).count() == 40
+
+
+# --- shard manifest + deterministic export ------------------------------------------------
+
+
+def test_shard_manifest_partitions_every_doc_exactly_once(spark):
+    rows = [(i, f"text {i}", "en") for i in range(500)]
+    m = shard_manifest(_docs_df(spark, rows)).collect()
+    assert sum(r["n_docs"] for r in m) == 500
+    assert all(0 <= r["shard_id"] < _N_SHARDS for r in m)
+    assert all(r["first_key"] <= r["last_key"] for r in m)
+    # checksum is the exact sum of 16-bit prefixes, verifiable offline
+    by_shard: dict[int, int] = {}
+    for i in range(500):
+        p = _py_prefix(i)
+        by_shard[p % _N_SHARDS] = by_shard.get(p % _N_SHARDS, 0) + p
+    assert {r["shard_id"]: r["checksum"] for r in m} == by_shard
+
+
+def test_write_sharded_is_deterministic_and_matches_manifest(spark, tmp_path):
+    rows = [(i, f"text {i}", "en") for i in range(300)]
+    docs = _docs_df(spark, rows)
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_sharded(docs, out_a, n_shards=8)
+    write_sharded(docs, out_b, n_shards=8)
+
+    def shard_contents(path):
+        # read each shard file alone (no shuffle) so file row order is
+        # what toPandas sees — the order a trainer streams
+        out = {}
+        for s in range(8):
+            pdf = (
+                spark.read.parquet(f"{path}/shard_id={s}")
+                .select("doc_id")
+                .toPandas()
+            )
+            out[s] = list(pdf["doc_id"])
+        return out
+
+    a, b = shard_contents(out_a), shard_contents(out_b)
+    assert a == b  # deterministic export, within-shard order included
+    # within-shard order is the md5 sort key, not insertion order
+    for ids in a.values():
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        assert keys == sorted(keys)
+    manifest = {
+        r["shard_id"]: r["n_docs"]
+        for r in shard_manifest(docs, n_shards=8).collect()
+    }
+    assert {k: len(v) for k, v in a.items() if v} == {
+        k: v for k, v in manifest.items()
+    }
