@@ -387,6 +387,272 @@ SELECT query_id, rank, neighbor_id, dot_q FROM (
 """
 
 
+# --- product quantization: PQ codes + IVF-PQ ADC search ----------------------------------
+#
+# The FAISS-style memory/scale path the IVF family was missing: vectors
+# compress to _PQ_M codebook indices (4 bytes replaces 256 bytes of
+# floats at dim 64), and search scores candidates with an asymmetric-
+# distance LOOKUP TABLE (query x codeword partial distances) instead of
+# touching raw vectors.  All integer-exact on the quantized embeddings,
+# so the DuckDB oracle matches hash-for-hash.
+
+_PQ_DIM = 64  # the embeddings table's dimension (generic form takes it as a param)
+_PQ_M = 4  # subspaces -> 16 dims each
+_PQ_SUB = _PQ_DIM // _PQ_M
+_PQ_K = 16  # codewords per subspace
+_PQ_SEED_MOD = 31  # vec_id % 31 == 1 -> codebook seed vector
+# seed-rank window input is bounded to the first _PQ_SEED_SCAN ids
+# (~128 seed rows at ANY corpus scale — a constant-size global window,
+# like the centroid rank), from which the first _PQ_K become codewords
+_PQ_SEED_SCAN = _PQ_SEED_MOD * _PQ_K * 8
+
+
+def _pq_subspace_explode(df, vec_col: str = "qv"):
+    """(vec_id, m, sub): the M fixed-width subvector splits, JVM-side."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).cast("long").alias("m"),
+                F.slice(vec_col, m * _PQ_SUB + 1, _PQ_SUB).alias("sub"),
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+    return df.select("vec_id", F.explode(subs).alias("s")).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+    )
+
+
+def _pq_codebook(emb: DataFrame) -> DataFrame:
+    """(m, code, cwv): K codewords per subspace from the first K
+    deterministic seed vectors (vec_id % _PQ_SEED_MOD == 1, ordered by
+    vec_id, drawn only from the first _PQ_SEED_SCAN ids so the rank
+    window's input is a ~128-row constant regardless of corpus size).
+    M*K = 64 tiny rows — broadcast wherever consumed."""
+    seeds = emb.where(
+        (F.col("vec_id") % _PQ_SEED_MOD == 1) & (F.col("vec_id") < _PQ_SEED_SCAN)
+    )
+    w = Window.orderBy("vec_id")  # bounded: <= _PQ_SEED_SCAN/_PQ_SEED_MOD rows
+    first_k = (
+        seeds.withColumn("code", (F.row_number().over(w) - 1).cast("long"))
+        .where(F.col("code") < _PQ_K)
+        .select("code", "qv")
+    )
+    cw = F.array(
+        *[
+            F.struct(
+                F.lit(m).cast("long").alias("m"),
+                F.slice("qv", m * _PQ_SUB + 1, _PQ_SUB).alias("cwv"),
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+    return first_k.select("code", F.explode(cw).alias("s")).select(
+        F.col("s.m").alias("m"), "code", F.col("s.cwv").alias("cwv")
+    )
+
+
+def _sq_l2(a: str, b: str):
+    """Exact integer squared L2 distance between two quantized arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_codes_df(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, m, code, dist_q): each subvector's nearest codeword by
+    exact integer squared-L2, explicit code tie-break.  The rank window
+    is per (vec_id, m) over exactly _PQ_K rows — constant-bounded."""
+    pairs = _pq_subspace_explode(emb).join(F.broadcast(codebook), "m")
+    d2 = _sq_l2("sub", "cwv")
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("code"))
+    return (
+        pairs.select("vec_id", "m", "code", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "code", F.col("d2").alias("dist_q"))
+    )
+
+
+def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compression: every vector's M codebook assignments + residual
+    distances.  This is the write-side of IVF-PQ — the stored index is
+    (vec_id, centroid_id, code_0..code_{M-1}), 100x smaller than the
+    raw vectors."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qv")
+    )
+    # emb feeds the codebook (seed subset) AND the assignment join —
+    # persist with an eager fill (no cross-branch CSE)
+    emb = emb.persist()
+    emb.count()
+    return _pq_codes_df(emb, _pq_codebook(emb))
+
+
+_PQ_CB_SQL = f"""
+  seedrank AS (
+    SELECT qv, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+    FROM q WHERE vec_id % {_PQ_SEED_MOD} = 1 AND vec_id < {_PQ_SEED_SCAN}
+  ), cb AS (
+    SELECT CAST(m AS BIGINT) AS m, code,
+           qv[CAST(m * {_PQ_SUB} + 1 AS BIGINT):CAST((m + 1) * {_PQ_SUB} AS BIGINT)] AS cwv
+    FROM seedrank, unnest(range(0, {_PQ_M})) AS r(m)
+    WHERE code < {_PQ_K}
+  ), subs AS (
+    SELECT vec_id, CAST(m AS BIGINT) AS m,
+           qv[CAST(m * {_PQ_SUB} + 1 AS BIGINT):CAST((m + 1) * {_PQ_SUB} AS BIGINT)] AS sub
+    FROM q, unnest(range(0, {_PQ_M})) AS r(m)
+  ), scored_codes AS (
+    SELECT s.vec_id, s.m, cb.code,
+           CAST(list_dot_product(s.sub, s.sub)
+                - 2 * list_dot_product(s.sub, cb.cwv)
+                + list_dot_product(cb.cwv, cb.cwv) AS BIGINT) AS d2
+    FROM subs s JOIN cb USING (m)
+  ), codes AS (
+    SELECT vec_id, m, code, d2 AS dist_q FROM (
+      SELECT vec_id, m, code, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                ORDER BY d2 ASC, code ASC) AS rn
+      FROM scored_codes
+    ) WHERE rn = 1
+  )"""
+
+_PQ_CODES_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),{_PQ_CB_SQL}
+SELECT vec_id, m, code, dist_q FROM codes
+"""
+
+
+def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: route queries to their IVF list (nprobe=1, same coarse
+    quantizer and hot-list guard as ann_ivf_search), then score the
+    list's candidates by ASYMMETRIC distance — sum over subspaces of
+    the precomputed (query, codeword) partial distances — never
+    touching candidate raw vectors.  The ADC lookup table is
+    |Q| x M x K rows, broadcast; candidate codes join it on
+    (query_id, m, code); the final top-k window per query is bounded
+    by nprobe x _MAX_IVF_LIST.  Exact integer math end to end."""
+    emb = (
+        _read(spark, sf_dir, "embeddings")
+        .select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+        .persist()
+    )
+    emb.count()
+    codebook = _pq_codebook(emb)
+
+    centroids = emb.where(F.col("vec_id") % _IVF_CENTROID_MOD == 1).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv")
+    )
+    cdot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("centroid_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "centroid_id", cdot.alias("cdot"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+        .persist()  # feeds the query and candidate branches
+    )
+    assigned.count()
+
+    queries = assigned.where(F.col("vec_id") % _QMOD == 0).select(
+        F.col("vec_id").alias("query_id"), "centroid_id"
+    )
+    cands = assigned.where(F.col("vec_id") % _QMOD != 0).select(
+        F.col("vec_id").alias("neighbor_id"), "centroid_id"
+    )
+    ok_lists = (
+        cands.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("_l_n"))
+        .where(F.col("_l_n") <= _MAX_IVF_LIST)
+        .select("centroid_id")
+    )
+    cands = cands.join(ok_lists, "centroid_id", "left_semi")
+
+    codes = _pq_codes_df(
+        emb.where(F.col("vec_id") % _QMOD != 0), codebook
+    ).select(F.col("vec_id").alias("neighbor_id"), "m", "code")
+
+    qsubs = _pq_subspace_explode(
+        emb.where(F.col("vec_id") % _QMOD == 0)
+    ).withColumnRenamed("vec_id", "query_id")
+    lut = qsubs.join(F.broadcast(codebook), "m").select(
+        "query_id", "m", "code", _sq_l2("sub", "cwv").alias("qd2")
+    )
+
+    scored = (
+        queries.join(cands, "centroid_id")
+        .join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd2").alias("adc_q"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.asc("adc_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= _IVF_TOPK)
+        .select("query_id", "rank", "neighbor_id", "adc_q")
+    )
+
+
+_IVFPQ_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),{_PQ_CB_SQL}, c AS (
+  SELECT vec_id AS centroid_id, qv AS cv FROM q
+  WHERE vec_id % {_IVF_CENTROID_MOD} = 1
+), assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT q.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY CAST(list_dot_product(q.qv, c.cv) AS BIGINT) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn = 1
+), queries AS (
+  SELECT vec_id AS query_id, centroid_id FROM assigned WHERE vec_id % {_QMOD} = 0
+), cands AS (
+  SELECT neighbor_id, centroid_id FROM (
+    SELECT vec_id AS neighbor_id, centroid_id,
+           COUNT(*) OVER (PARTITION BY centroid_id) AS lsz
+    FROM assigned WHERE vec_id % {_QMOD} != 0
+  ) WHERE lsz <= {_MAX_IVF_LIST}
+), lut AS (
+  SELECT s.vec_id AS query_id, s.m, cb.code,
+         CAST(list_dot_product(s.sub, s.sub)
+              - 2 * list_dot_product(s.sub, cb.cwv)
+              + list_dot_product(cb.cwv, cb.cwv) AS BIGINT) AS qd2
+  FROM subs s JOIN cb USING (m)
+  WHERE s.vec_id % {_QMOD} = 0
+), scored AS (
+  SELECT p.query_id, cd.vec_id AS neighbor_id,
+         CAST(SUM(l.qd2) AS BIGINT) AS adc_q
+  FROM (SELECT query_id, neighbor_id FROM queries JOIN cands USING (centroid_id)) p
+  JOIN codes cd ON p.neighbor_id = cd.vec_id
+  JOIN lut l ON l.query_id = p.query_id AND l.m = cd.m AND l.code = cd.code
+  GROUP BY p.query_id, cd.vec_id
+)
+SELECT query_id, rank, neighbor_id, adc_q FROM (
+  SELECT query_id, neighbor_id, adc_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_q ASC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_IVF_TOPK}
+"""
+
+
 # --- BPE-ish regex pre-tokenizer stats ---------------------------------------------------
 
 # GPT-2-style pretokenizer classes, restricted to the ASCII subset where
@@ -685,10 +951,14 @@ EXTRA_QUERIES_EXT = {
     "ann_ivf_search_p2": q_ann_ivf_search_p2,  # parameter variant of ann_ivf_search
     "ann_topk": q_ann_topk,  # brute-force exact-recall baseline (r4: yields its
     # slot to the wave-7 ops; the ANN family keeps lsh_bucketed + ivf_search)
+    "ann_pq_codes": q_ann_pq_codes,  # PQ compression (the IVF-PQ write side)
+    "ann_ivfpq_search": q_ann_ivfpq_search,  # IVF route + ADC lookup-table scoring
 }
 
 EXTRA_ORACLES_EXT = {
     "ann_ivf_assign": _IVF_SQL,
     "ann_ivf_search_p2": _ivf_search_sql(2),
     "ann_topk": _ANN_TOPK_SQL,
+    "ann_pq_codes": _PQ_CODES_SQL,
+    "ann_ivfpq_search": _IVFPQ_SQL,
 }
