@@ -7,6 +7,9 @@ funnel as a runnable job:
          exact n-gram Jaccard >= threshold drops the larger doc_id; or,
          with --cluster-reps, keeps one representative per connected
          component of the pair graph)
+      -> optional ExactSubstr-style block-dup cut over the survivors
+         (--max-dup-block-pct)
+      -> optional temperature language rebalancing (--lang-rebalance)
 
 Usage:
   python -m coa_ocr_simple_spark.jobs.curate \\
@@ -41,9 +44,6 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
     )
     final = final.persist()  # feeds the count, the write, and the report
 
-    curated = docs.join(final, "doc_id", "left_semi")
-    io.append(curated, args.output)
-
     summary = {
         "n_total": docs.count(),
         "n_quality": quality.count(),
@@ -52,6 +52,38 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         "jaccard_min": args.jaccard_min,
         "near_dup_policy": "cluster_reps" if args.cluster_reps else "pair_loser",
     }
+
+    if args.max_dup_block_pct is not None:
+        # ExactSubstr-style pass over the SURVIVORS (post-dedup, where it
+        # belongs): drop docs whose droppable-block fraction exceeds the
+        # cap.  Docs too short for a full block have nothing to cut and
+        # pass.  Still doc_id-set plumbing — payload moves once, at the
+        # final write.
+        from ..plans.driver_queries_mix import block_dedup_stats
+
+        surv_docs = docs.join(final, "doc_id", "left_semi")
+        stats = block_dedup_stats(surv_docs)
+        bad = stats.where(
+            F.floor(F.col("n_drop_blocks") * 100 / F.col("n_blocks"))
+            > args.max_dup_block_pct
+        ).select("doc_id")
+        final = final.join(bad, "doc_id", "left_anti").persist()
+        summary["n_after_block_dedup"] = final.count()  # also the eager fill
+
+    if args.lang_rebalance:
+        # temperature (alpha=0.5) language rebalancing of the survivors —
+        # the last stage, so the mixture is computed over what actually
+        # ships
+        from ..plans.driver_queries_mix import lang_mixture_sample
+
+        surv_docs = docs.join(final, "doc_id", "left_semi")
+        kept = lang_mixture_sample(surv_docs).select("doc_id")
+        final = final.join(kept, "doc_id", "left_semi").persist()
+        summary["n_after_lang_rebalance"] = final.count()
+
+    curated = docs.join(final, "doc_id", "left_semi")
+    io.append(curated, args.output)
+    summary["n_curated"] = final.count()
     if args.report:
         report = spark.createDataFrame(
             [
@@ -78,6 +110,21 @@ def parse_args(argv=None) -> argparse.Namespace:
         "component instead of dropping doc_b of every pair — the "
         "group-level dedup policy (connected components over the "
         ">= threshold Jaccard pair graph)",
+    )
+    p.add_argument(
+        "--max-dup-block-pct",
+        type=int,
+        default=None,
+        help="ExactSubstr-style stage: drop survivor docs whose "
+        "duplicated-(20-token-)block fraction exceeds this percent "
+        "(canonical first occurrences don't count against a doc)",
+    )
+    p.add_argument(
+        "--lang-rebalance",
+        action="store_true",
+        help="final stage: temperature (alpha=0.5) language mixture "
+        "rebalancing of the survivors (keep-rate sqrt(n_min/n_lang), "
+        "deterministic md5 predicate)",
     )
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)

@@ -105,3 +105,73 @@ def test_curate_cluster_reps_keeps_one_per_component(spark, tmp_path):
         by_cluster.setdefault(r["cluster_id"], set()).add(r["doc_id"])
     for rep, members in by_cluster.items():
         assert curated & members <= {rep}
+
+
+def test_curate_block_dedup_and_lang_rebalance_stages(spark, tmp_path):
+    """--max-dup-block-pct drops a survivor that smuggles a block-aligned
+    copied paragraph past the Jaccard gate; --lang-rebalance then applies
+    the deterministic temperature mixture to what remains."""
+    import hashlib
+
+    from coa_ocr_simple_spark.plans.driver_queries_mix import _MIX_SCALE
+
+    rng = random.Random(11)
+    vocab = [f"word{j}" for j in range(500)]
+    stop = ["the", "and", "of", "to", "in", "is"]
+
+    def quality_words(n):
+        return [
+            rng.choice(stop) if k % 4 == 0 else rng.choice(vocab) for k in range(n)
+        ]
+
+    rows = []
+    for i in range(20):
+        rows.append({"doc_id": i, "text": " ".join(quality_words(60)), "lang": "en"})
+    # doc 50: first 20 tokens = doc 2's block 0 (block-aligned paste),
+    # then 40 fresh tokens -> Jaccard vs doc 2 is ~33% (< the 80 gate) so
+    # the funnel keeps it, but 1 of its 3 blocks is a non-canonical dup
+    # (33% > the 30% cap) -> the block stage must drop it
+    rows.append(
+        {
+            "doc_id": 50,
+            "text": " ".join(rows[2]["text"].split()[:20] + quality_words(40)),
+            "lang": "en",
+        }
+    )
+    # a thin fr slice: rebalancing keeps all of it and downsamples en
+    for i in range(60, 64):
+        rows.append({"doc_id": i, "text": " ".join(quality_words(60)), "lang": "fr"})
+    for r in rows:
+        r.update({"source": "s", "n_chars": len(r["text"])})
+    docs_path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), docs_path)
+
+    out = str(tmp_path / "curated_bl")
+    summary = run(
+        parse_args(
+            [
+                "--input", docs_path, "--output", out,
+                "--max-dup-block-pct", "30", "--lang-rebalance",
+            ]
+        ),
+        spark,
+    )
+    assert summary["n_curated"] == summary["n_after_lang_rebalance"]
+    # funnel keeps everything (all quality, no exact/near dups at 80)...
+    assert summary["n_after_exact_dedup"] == 25
+    # ...block stage drops exactly doc 50
+    assert summary["n_after_block_dedup"] == 24
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert 50 not in kept
+    assert all(i in kept for i in range(60, 64))  # fr (n_min) all survive
+    # en survivors match the exact integer predicate independently
+    counts = {"en": 20, "fr": 4}
+    expected_en = {
+        i
+        for i in range(20)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) ** 2
+        * counts["en"]
+        < _MIX_SCALE**2 * counts["fr"]
+    }
+    assert {d for d in kept if d < 20} == expected_en

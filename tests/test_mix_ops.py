@@ -67,6 +67,66 @@ def test_block_dedup_short_doc_emits_no_row(spark):
     assert block_dedup_stats(_docs_df(spark, rows)).count() == 0
 
 
+def test_block_dedup_randomized_matches_python_reference(spark):
+    """Seed-pinned randomized corpus with heavy planted duplication
+    (tiny vocab + copied blocks) vs an independent pure-Python
+    implementation of the same semantics — exercises within-doc
+    repeats, cross-doc shares, and the (doc_id, block_idx) canonical
+    tie-break on arbitrary collision patterns."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(7)]  # tiny vocab -> real block collisions
+    docs = []
+    for doc_id in range(60):
+        n_blocks = rng.randint(0, 4)
+        toks: list[str] = []
+        for _ in range(n_blocks):
+            if docs and rng.random() < 0.4:
+                # paste a random full block from an earlier doc
+                src_toks = docs[rng.randrange(len(docs))][1].split(" ")
+                src_blocks = len(src_toks) // _BLOCK_W
+                if src_blocks:
+                    b = rng.randrange(src_blocks)
+                    toks += src_toks[b * _BLOCK_W : (b + 1) * _BLOCK_W]
+                    continue
+            toks += [rng.choice(vocab) for _ in range(_BLOCK_W)]
+        toks += [rng.choice(vocab) for _ in range(rng.randint(0, _BLOCK_W - 1))]
+        docs.append((doc_id, " ".join(toks), "en"))
+
+    # pure-Python reference: same tokenization, same canonical rule
+    occs: dict[str, list[tuple[int, int]]] = {}
+    per_doc: dict[int, list[str]] = {}
+    for doc_id, text, _ in docs:
+        toks = text.lower().strip().split()
+        hashes = [
+            " ".join(toks[i * _BLOCK_W : (i + 1) * _BLOCK_W])
+            for i in range(len(toks) // _BLOCK_W)
+        ]
+        per_doc[doc_id] = hashes
+        for idx, h in enumerate(hashes):
+            occs.setdefault(h, []).append((doc_id, idx))
+    expected = {}
+    for doc_id, hashes in per_doc.items():
+        if not hashes:
+            continue
+        shared = sum(1 for h in hashes if len(occs[h]) > 1)
+        drop = sum(
+            1
+            for idx, h in enumerate(hashes)
+            if min(occs[h]) != (doc_id, idx)
+        )
+        expected[doc_id] = (len(hashes), shared, drop)
+
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_shared_blocks"], r["n_drop_blocks"])
+        for r in block_dedup_stats(_docs_df(spark, docs)).collect()
+    }
+    assert got == expected
+    # the planted duplication must actually fire for the test to mean anything
+    assert sum(s for _, s, _ in expected.values()) > 10
+
+
 # --- language mixture sampling ------------------------------------------------------------
 
 
