@@ -48,17 +48,11 @@ from .driver_queries_quality import _md5_prefix_sql, _md5_prefix_val
 _BLOCK_W = 20  # tokens per non-overlapping block (production would use ~50)
 
 
-def block_dedup_stats(docs: DataFrame) -> DataFrame:
-    """Per-doc block-duplication stats: (doc_id, n_blocks,
-    n_shared_blocks, n_drop_blocks).
-
-    n_shared_blocks counts blocks whose hash occurs >= 2 times anywhere
-    in the corpus (cross-doc boilerplate or in-doc repetition);
-    n_drop_blocks counts this doc's occurrences that are NOT the
-    canonical first occurrence (lexicographic min over (doc_id,
-    block_idx)) — exactly the spans an ExactSubstr pass would cut.
-    Docs with fewer than _BLOCK_W tokens emit no row (no full block).
-    """
+def block_occurrences(docs: DataFrame) -> DataFrame:
+    """(doc_id, block_idx, bh): every full _BLOCK_W-token block's md5,
+    in document order.  Pure stateless per-row ops + one explode — safe
+    for BOTH batch and streaming inputs (streaming/block_dedup_stream.py
+    consumes it unaggregated)."""
     # token array materialized once per row; referenced >= 2x in the
     # consuming projection (size + the HOF lambda) so CollapseProject
     # cannot inline the split into the lambda, where it would re-run
@@ -79,13 +73,24 @@ def block_dedup_stats(docs: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     withb = pre.select("doc_id", F.size("t").alias("_nt"), blocks.alias("bs"))
+    return withb.select("doc_id", F.posexplode("bs").alias("block_idx", "bh"))
 
+
+def block_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc block-duplication stats: (doc_id, n_blocks,
+    n_shared_blocks, n_drop_blocks).
+
+    n_shared_blocks counts blocks whose hash occurs >= 2 times anywhere
+    in the corpus (cross-doc boilerplate or in-doc repetition);
+    n_drop_blocks counts this doc's occurrences that are NOT the
+    canonical first occurrence (lexicographic min over (doc_id,
+    block_idx)) — exactly the spans an ExactSubstr pass would cut.
+    Docs with fewer than _BLOCK_W tokens emit no row (no full block).
+    """
     # exploded occurrences feed TWO independent consumers (the firsts
     # aggregate and the join-back) — persist with an eager fill or the
     # explode + md5 chain executes twice (no cross-branch CSE).
-    occ = withb.select(
-        "doc_id", F.posexplode("bs").alias("block_idx", "bh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    occ = block_occurrences(docs).persist(StorageLevel.MEMORY_AND_DISK)
     occ.count()
 
     firsts = occ.groupBy("bh").agg(

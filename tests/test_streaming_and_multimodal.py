@@ -199,3 +199,55 @@ def test_minhash_band_shapes_agree(spark):
         for r in _minhash_bands_rowwise(docs).collect()
     }
     assert agg == row and len(agg) == docs.count() * 8
+
+
+def test_streaming_block_dedup_suppresses_across_restarts(spark, tmp_path):
+    """Streaming ExactSubstr: each distinct 20-token block is emitted
+    once corpus-wide; a restarted job (same checkpoint) keeps
+    suppressing blocks it emitted in an earlier run, and the survivor
+    set matches the batch operator's distinct block hashes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coa_ocr_simple_spark.plans.driver_queries_mix import _BLOCK_W
+    from coa_ocr_simple_spark.streaming.block_dedup_stream import (
+        run_streaming_block_dedup,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def blk(seed):
+        return " ".join(f"{seed}{i}" for i in range(_BLOCK_W))
+
+    def write_batch(name, rows):
+        pq.write_table(
+            pa.Table.from_pylist(
+                [
+                    {"doc_id": i, "text": t, "lang": "en", "source": "s",
+                     "n_chars": len(t)}
+                    for i, t in rows
+                ]
+            ),
+            str(inp / name),
+        )
+
+    # run 1: doc 0 = blocks A B; doc 1 = blocks B C (B repeats) -> 3 survivors
+    write_batch(
+        "b1.parquet",
+        [(0, blk("a") + " " + blk("b")), (1, blk("b") + " " + blk("c"))],
+    )
+    run_streaming_block_dedup(spark, str(inp), out, ckpt)
+    first = spark.read.parquet(out)
+    assert first.count() == 3
+    assert first.select("bh").distinct().count() == 3
+
+    # run 2 (restart, same checkpoint): doc 2 = blocks C D -> only D is new
+    write_batch("b2.parquet", [(2, blk("c") + " " + blk("d"))])
+    run_streaming_block_dedup(spark, str(inp), out, ckpt)
+    final = spark.read.parquet(out).collect()
+    assert len(final) == 4
+    new = [r for r in final if r["doc_id"] == 2]
+    assert len(new) == 1 and new[0]["block_idx"] == 1  # D, not the seen C
