@@ -52,28 +52,39 @@ def block_occurrences(docs: DataFrame) -> DataFrame:
     """(doc_id, block_idx, bh): every full _BLOCK_W-token block's md5,
     in document order.  Pure stateless per-row ops + one explode — safe
     for BOTH batch and streaming inputs (streaming/block_dedup_stream.py
-    consumes it unaggregated)."""
-    # token array materialized once per row; referenced >= 2x in the
-    # consuming projection (size + the HOF lambda) so CollapseProject
-    # cannot inline the split into the lambda, where it would re-run
-    # per block (the documented O(len^2) hazard).
+    consumes it unaggregated).
+
+    SHAPE MATTERS (measured): the obvious form — transform() building
+    the md5 array, then explode — is quadratic per document, because
+    InferFiltersFromGenerate adds ``size(bs) > 0`` under the Generate
+    and predicate pushdown substitutes the WHOLE block expression into
+    it, split() inlined INSIDE the transform lambda (re-tokenizing the
+    doc once per block: a 64k-token doc hung a probe that finished in
+    0.6 s at 32k).  Exploding the cheap INDEX array instead keeps the
+    inferred filter O(1) (it only references size(t)), the token array
+    rides the Generate as a bound attribute (no copy), and the md5 is
+    one O(_BLOCK_W) slice per output row — linear end to end, no
+    persist barrier needed, so the same plan serves streaming."""
     pre = docs.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
     )
     n_blocks = F.floor(F.size("t") / _BLOCK_W).cast("int")
-    blocks = F.when(
-        n_blocks > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_blocks - 1),
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ", F.slice(F.col("t"), i * _BLOCK_W + 1, F.lit(_BLOCK_W))
-                )
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    withb = pre.select("doc_id", F.size("t").alias("_nt"), blocks.alias("bs"))
-    return withb.select("doc_id", F.posexplode("bs").alias("block_idx", "bh"))
+    idx = F.when(n_blocks > 0, F.sequence(F.lit(0), n_blocks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # `t` is referenced >= 2x here (passthrough + size inside idx), so
+    # CollapseProject cannot inline the split into this projection's
+    # consumers (the documented hazard)
+    ex = pre.select("doc_id", "t", idx.alias("ix")).select(
+        "doc_id", "t", F.explode("ix").alias("block_idx")
+    )
+    bh = F.md5(
+        F.concat_ws(
+            " ",
+            F.slice(F.col("t"), F.col("block_idx") * _BLOCK_W + 1, F.lit(_BLOCK_W)),
+        )
+    )
+    return ex.select("doc_id", "block_idx", bh.alias("bh"))
 
 
 def block_dedup_stats(docs: DataFrame) -> DataFrame:
