@@ -77,7 +77,9 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         from ..plans.driver_queries_mix import lang_mixture_sample
 
         surv_docs = docs.join(final, "doc_id", "left_semi")
-        kept = lang_mixture_sample(surv_docs).select("doc_id")
+        kept = lang_mixture_sample(surv_docs, alpha=args.lang_alpha).select(
+            "doc_id"
+        )
         final = final.join(kept, "doc_id", "left_semi").persist()
         summary["n_after_lang_rebalance"] = final.count()
 
@@ -122,9 +124,17 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument(
         "--lang-rebalance",
         action="store_true",
-        help="final stage: temperature (alpha=0.5) language mixture "
-        "rebalancing of the survivors (keep-rate sqrt(n_min/n_lang), "
+        help="final stage: temperature language mixture rebalancing of "
+        "the survivors (keep-rate (n_min/n_lang)^(1-alpha), "
         "deterministic md5 predicate)",
+    )
+    p.add_argument(
+        "--lang-alpha",
+        type=float,
+        default=0.5,
+        choices=[0.5, 0.75],
+        help="mixture temperature for --lang-rebalance (0.75 downsamples "
+        "the head language more gently)",
     )
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)

@@ -161,46 +161,73 @@ GROUP BY o.doc_id
 _MIX_SCALE = 65536  # md5 4-hex-prefix domain (same recipe as source_quota_sample)
 
 
-def lang_mixture_sample(docs: DataFrame) -> DataFrame:
-    """Deterministic alpha=0.5 temperature rebalancing across languages:
-    keep each doc of language l with rate sqrt(n_min / n_l), where n_l
-    is l's corpus count and n_min the smallest language's.  Expected
-    kept count per language is sqrt(n_min * n_l) — i.e. proportional to
-    n_l^0.5, the XLM-R-style mixture that upsamples (keeps all of)
-    low-resource languages and downsamples the head language.
+# exact integer exponent d for each supported temperature: keep-rate
+# (n_min/n_l)^(1-alpha) with 1-alpha = 1/d  ->  keep iff
+# p^d * n_l < SCALE^d * n_min  (no float pow anywhere)
+_MIX_ALPHAS = {0.5: 2, 0.75: 4}
+
+
+def lang_mixture_sample(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Deterministic temperature rebalancing across languages: keep each
+    doc of language l with rate (n_min / n_l)^(1-alpha), where n_l is
+    l's corpus count and n_min the smallest language's.  Expected kept
+    count per language is n_min^(1-alpha) * n_l^alpha — proportional to
+    n_l^alpha, the XLM-R/mT5-style mixture that keeps all of the
+    low-resource languages and downsamples the head language (alpha=0.75
+    is the gentler knob: a 16x head language keeps 1/2 instead of 1/4).
 
     The keep decision is EXACT integer math (mirrored verbatim in the
-    DuckDB oracle): with p = the 4-hex md5(doc_id) prefix in
-    [0, 65536), keep iff
+    DuckDB oracle): with p = the 4-hex md5(doc_id) prefix in [0, 65536)
+    and d = 1/(1-alpha) an integer, keep iff
 
-        p^2 * n_l < 65536^2 * n_min
+        p^d * n_l < 65536^d * n_min
 
-    which is algebraically p < 65536 * sqrt(n_min / n_l) without ever
-    computing a float sqrt — no rounding-boundary disagreement between
-    engines, ever.  Both sides run in DECIMAL (Spark) / HUGEINT
-    (DuckDB): p^2 < 2^32 times an n up to 10^18 stays inside 30 digits,
-    so the predicate is overflow-safe at any real corpus size.
+    which is algebraically p < 65536 * (n_min/n_l)^(1-alpha) without
+    ever computing a float root — no rounding-boundary disagreement
+    between engines, ever.  Both sides run in DECIMAL (Spark) /
+    HUGEINT (DuckDB): at d=4 the worst case is p^4 (< 2^64, 20 digits)
+    times a count capped at DECIMAL(17,0) (10^17 docs per language) —
+    38 digits, exact in both engines.
 
     Scale shape: one tiny groupBy(lang) aggregate broadcast back over
     the scan; no window, no extra shuffle, trivially skew-immune.
     """
+    if alpha not in _MIX_ALPHAS:
+        raise ValueError(f"alpha must be one of {sorted(_MIX_ALPHAS)}, got {alpha}")
+    d = _MIX_ALPHAS[alpha]
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("_lang_n"))
     n_min = counts.agg(F.min("_lang_n").alias("_n_min"))
     joined = docs.join(F.broadcast(counts), "lang").crossJoin(F.broadcast(n_min))
     p = _md5_prefix_val(F.col("doc_id")).cast("decimal(5,0)")
-    lhs = (p * p) * F.col("_lang_n").cast("decimal(18,0)")
-    rhs = F.lit(_MIX_SCALE * _MIX_SCALE).cast("decimal(11,0)") * F.col(
+    p_d = p
+    for _ in range(d - 1):
+        p_d = p_d * p
+    from decimal import Decimal
+
+    lhs = p_d.cast("decimal(20,0)") * F.col("_lang_n").cast("decimal(17,0)")
+    # 65536^4 = 2^64 exceeds a Java long — ship it as a Decimal literal
+    rhs = F.lit(Decimal(_MIX_SCALE**d)).cast("decimal(20,0)") * F.col(
         "_n_min"
-    ).cast("decimal(18,0)")
+    ).cast("decimal(17,0)")
     return joined.where(lhs < rhs).select("doc_id", "lang")
 
 
 def q_lang_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lang_mixture_sample(_docs(spark, sf_dir))
+    return lang_mixture_sample(_docs(spark, sf_dir), alpha=0.5)
 
 
-def _mixture_sql() -> str:
+def q_lang_mixture_sample_a75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gentler temperature knob (alpha=0.75), one code path with the
+    registered alpha=0.5 entry — extra registry, like ann_ivf_search_p2."""
+    return lang_mixture_sample(_docs(spark, sf_dir), alpha=0.75)
+
+
+def _mixture_sql(alpha: float = 0.5) -> str:
+    d = _MIX_ALPHAS[alpha]
     p = _md5_prefix_sql("md5(CAST(d.doc_id AS VARCHAR))")
+    # CAST the first factor to HUGEINT so the whole product stays 128-bit
+    lhs = " * ".join([f"CAST({p} AS HUGEINT)"] + [p] * (d - 1))
+    rhs = " * ".join([f"CAST({_MIX_SCALE} AS HUGEINT)"] + [str(_MIX_SCALE)] * (d - 1))
     return f"""
 WITH counts AS (
   SELECT lang, COUNT(*) AS lang_n FROM documents GROUP BY lang
@@ -209,8 +236,7 @@ WITH counts AS (
 )
 SELECT d.doc_id, d.lang
 FROM documents d JOIN counts c USING (lang), mn
-WHERE CAST({p} AS HUGEINT) * {p} * c.lang_n
-    < CAST({_MIX_SCALE} AS HUGEINT) * {_MIX_SCALE} * mn.n_min
+WHERE {lhs} * c.lang_n < {rhs} * mn.n_min
 """
 
 
@@ -308,5 +334,11 @@ ORACLES_MIX = {
     "lang_mixture_sample": _mixture_sql(),
 }
 
-EXTRA_QUERIES_MIX = {"shard_manifest": q_shard_manifest}
-EXTRA_ORACLES_MIX = {"shard_manifest": _manifest_sql()}
+EXTRA_QUERIES_MIX = {
+    "shard_manifest": q_shard_manifest,
+    "lang_mixture_sample_a75": q_lang_mixture_sample_a75,  # temperature knob
+}
+EXTRA_ORACLES_MIX = {
+    "shard_manifest": _manifest_sql(),
+    "lang_mixture_sample_a75": _mixture_sql(0.75),
+}

@@ -163,6 +163,23 @@ def test_lang_mixture_uniform_corpus_is_identity(spark):
     assert lang_mixture_sample(_docs_df(spark, rows)).count() == 40
 
 
+def test_lang_mixture_alpha75_is_superset_of_alpha50(spark):
+    """keep iff p < SCALE * (n_min/n_l)^(1-alpha); the threshold is
+    monotone in alpha (r <= 1 so r^(1/4) >= r^(1/2)), so the gentler
+    temperature keeps a strict superset per language."""
+    rows = [(i, "t", "en") for i in range(400)] + [
+        (1000 + i, "t", "fr") for i in range(25)
+    ]
+    docs = _docs_df(spark, rows)
+    k50 = {r["doc_id"] for r in lang_mixture_sample(docs, alpha=0.5).collect()}
+    k75 = {r["doc_id"] for r in lang_mixture_sample(docs, alpha=0.75).collect()}
+    assert k50 < k75  # strict superset on this skewed corpus
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lang_mixture_sample(docs, alpha=0.9)
+
+
 # --- shard manifest + deterministic export ------------------------------------------------
 
 
