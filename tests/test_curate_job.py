@@ -7,6 +7,7 @@ import random
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from coa_ocr_simple_spark.jobs.curate import parse_args, run
 
@@ -175,3 +176,37 @@ def test_curate_block_dedup_and_lang_rebalance_stages(spark, tmp_path):
         < _MIX_SCALE**2 * counts["fr"]
     }
     assert {d for d in kept if d < 20} == expected_en
+
+
+def test_curate_then_shard_export_composes(spark, tmp_path):
+    """The full corpus-build tail: curate -> deterministic sharded
+    export -> manifest verification.  The manifest computed over the
+    curated docs must agree shard-for-shard with what the writer
+    actually put on disk — the control-table contract a 10^12-doc
+    export publishes for its trainer."""
+    from coa_ocr_simple_spark.plans.driver_queries_mix import (
+        shard_manifest,
+        write_sharded,
+    )
+
+    docs_path = _corpus(tmp_path)
+    out = str(tmp_path / "curated_compose")
+    run(parse_args(["--input", docs_path, "--output", out]), spark)
+
+    curated = spark.read.parquet(out)
+    shards = str(tmp_path / "shards")
+    write_sharded(curated, shards, n_shards=8)
+
+    manifest = {
+        r["shard_id"]: r["n_docs"]
+        for r in shard_manifest(curated, n_shards=8).collect()
+    }
+    on_disk = {
+        r["shard_id"]: r["n"]
+        for r in spark.read.parquet(shards)
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert on_disk == manifest
+    assert sum(on_disk.values()) == curated.count()
