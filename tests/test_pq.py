@@ -79,9 +79,10 @@ def test_ivfpq_beats_chance_against_exact_ivf(spark):
     """ADC with untrained (deterministic-seed) codebooks is lossy, but
     must still beat the chance floor: a query's IVF list holds ~100
     candidates at sf0.001, so 5 random picks overlap the exact top-5 by
-    ~0.25 pairs/query.  The deterministic measured overlap is 5 of 25
-    pairs (recall 0.2, ~4x chance); assert >= 4 to leave refactor room
-    while still catching a broken distance."""
+    ~0.25 pairs/query.  The deterministic measured overlap is 6 of 25
+    pairs at M=16/K=16 (recall 0.24, ~5x chance; 5 of 25 at the old
+    M=4); assert >= 4 to leave refactor room while still catching a
+    broken distance."""
     qs = entrymod.queries()
     ivf = {
         (r["query_id"], r["neighbor_id"])
