@@ -115,12 +115,15 @@ def main() -> None:
     cap(
         "block_dedup_stats (ExactSubstr-style token-block dedup — round 4)",
         q_block_dedup_stats(spark, "/root/testdata/sf0.001"),
-        "Tokens split once per row (the >=2-lexical-references guard keeps "
-        "CollapseProject from inlining the split into the block lambda); "
-        "exploded occurrences persisted with an eager fill (two consumers: "
-        "the firsts aggregate and the join-back); one shuffle on the block "
-        "hash with map-side combine — the shuffle carries 1 md5 per 20 "
-        "tokens, ~1% of the text bytes.",
+        "INDEX-array explode (not transform-then-explode: the optimizer's "
+        "inferred size()>0 filter under a Generate inlines the tokenizing "
+        "split into the HOF lambda — measured quadratic, 64k-token docs "
+        "hung); the token array rides the Generate as a bound attribute and "
+        "each block md5 is one O(W) slice after it — linear at any length, "
+        "no persist barrier, same plan serves streaming.  Exploded "
+        "occurrences persisted with an eager fill (two consumers: the "
+        "firsts aggregate and the join-back); one shuffle on the block hash "
+        "with map-side combine — 1 md5 per 20 tokens, ~1% of text bytes.",
     )
     cap(
         "lang_mixture_sample (temperature language rebalancing — round 4)",
