@@ -230,3 +230,32 @@ def test_write_sharded_is_deterministic_and_matches_manifest(spark, tmp_path):
     assert {k: len(v) for k, v in a.items() if v} == {
         k: v for k, v in manifest.items()
     }
+
+
+def test_block_dedup_mega_boilerplate_block(spark):
+    """One block hash held by 50% of the corpus (the pervasive-header
+    case).  Correctness: every copy except the global first is
+    droppable.  Scale note: the join-back on bh concentrates the hot
+    hash's occurrences in one shuffle partition; AQE skew-join splits
+    that partition at runtime (the firsts side is one row per bh and
+    replicates), so the plan has no structural cap to test — this pins
+    the semantics under the skew pattern."""
+    boiler = _words("mega", _BLOCK_W)
+    rows = []
+    for i in range(200):
+        if i % 2 == 0:
+            rows.append((i, boiler + " " + _words(f"u{i}", _BLOCK_W), "en"))
+        else:
+            rows.append((i, _words(f"v{i}", 2 * _BLOCK_W), "en"))
+    out = {
+        r["doc_id"]: r
+        for r in block_dedup_stats(_docs_df(spark, rows)).collect()
+    }
+    assert len(out) == 200
+    # doc 0 holds the canonical copy; the other 99 holders drop theirs
+    assert out[0]["n_drop_blocks"] == 0 and out[0]["n_shared_blocks"] == 1
+    for i in range(2, 200, 2):
+        assert out[i]["n_drop_blocks"] == 1
+        assert out[i]["n_shared_blocks"] == 1
+    for i in range(1, 200, 2):
+        assert out[i]["n_drop_blocks"] == 0 and out[i]["n_shared_blocks"] == 0
