@@ -210,3 +210,24 @@ def test_curate_then_shard_export_composes(spark, tmp_path):
     }
     assert on_disk == manifest
     assert sum(on_disk.values()) == curated.count()
+
+
+def test_export_shards_job_verifies_manifest(spark, tmp_path):
+    """The export job writes shards, publishes the manifest, and
+    self-verifies disk vs manifest before reporting success."""
+    from coa_ocr_simple_spark.jobs import export_shards
+
+    docs_path = _corpus(tmp_path)
+    out = str(tmp_path / "shards_job")
+    man = str(tmp_path / "manifest_job")
+    summary = export_shards.run(
+        export_shards.parse_args(
+            ["--input", docs_path, "--output", out,
+             "--manifest", man, "--n-shards", "8"]
+        ),
+        spark,
+    )
+    assert summary["verified"] and summary["n_docs"] == 32
+    m = spark.read.parquet(man)
+    assert m.count() == summary["n_shards_written"]
+    assert {r["shard_id"] for r in m.collect()} <= set(range(8))
