@@ -309,10 +309,13 @@ def write_sharded(
     global sort — written as shard_id=NN/ parquet directories.  Two
     runs over the same input produce identical shard contents, so a
     trainer's data order is reproducible and shards can be verified
-    against shard_manifest()."""
-    cols = _shard_cols(docs, n_shards).drop("_p")
+    against shard_manifest().  The shard columns are pure functions of
+    doc_id, so they attach as projections — no join, the payload's
+    ONLY shuffle is the repartition."""
+    p = _md5_prefix_val(F.col("doc_id"))
     (
-        docs.join(cols, "doc_id")
+        docs.withColumn("shard_id", (p % n_shards).cast("long"))
+        .withColumn("sort_key", F.md5(F.col("doc_id").cast("string")))
         .repartition(n_shards, "shard_id")
         # shard_id leads the sort: FileFormatWriter requires rows sorted
         # by the partitionBy columns and would otherwise insert its own
