@@ -953,7 +953,105 @@ ORACLES_EXT = {
 # variants yield their slots to distinct operator families).  Still part
 # of the public API; scripts/check_oracles.py and tests/test_extra_oracles.py
 # keep them oracle-green.
+# --- ordered event funnel (sequential-pattern matching) ----------------------------------
+
+_FUNNEL_STAGES = ("signup", "view", "purchase")
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> view -> purchase: a user
+    reaches stage k only via events at STRICTLY increasing (ts,
+    event_id) positions — the sequential-pattern staple (product
+    funnels, curriculum ordering, abuse chains) the event family was
+    missing.
+
+    Shape: one filtered min-aggregate per stage, each joined to the
+    previous stage's first-time and re-aggregated — three aggregations
+    co-partitioned on user_id (AQE reuses the exchange), ZERO windows,
+    map-side combinable, so no per-user bound is needed no matter how
+    hot a user is.  The (ts, event_id) struct is the deterministic
+    total order (plain ts ties across engines otherwise).  Output per
+    signup user: (user_id, reached 1..3, t1_us/t2_us/t3_us epoch
+    MICROseconds — a seconds cast truncates in Spark but rounds in
+    DuckDB — NULL beyond the reached stage)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    k = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("eid"))
+
+    s1 = (
+        ev.where(F.col("event_type") == _FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min(k).alias("k1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == _FUNNEL_STAGES[1])
+        .join(s1, "user_id")
+        .where(k > F.col("k1"))
+        .groupBy("user_id")
+        .agg(F.min(k).alias("k2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == _FUNNEL_STAGES[2])
+        .join(s2, "user_id")
+        .where(k > F.col("k2"))
+        .groupBy("user_id")
+        .agg(F.min(k).alias("k3"))
+    )
+    out = s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    reached = (
+        F.lit(1)
+        + F.col("k2").isNotNull().cast("int")
+        + F.col("k3").isNotNull().cast("int")
+    )
+    def _epoch_us(c):
+        # exact integer microseconds (unix_micros / epoch_us), NOT
+        # seconds: ts has sub-second precision and a seconds cast
+        # truncates in Spark but ROUNDS in DuckDB's epoch() double —
+        # measured off-by-one on ~half the rows
+        return F.unix_micros(F.col(c).cast("timestamp_ltz"))
+
+    return out.select(
+        "user_id",
+        reached.cast("long").alias("reached"),
+        _epoch_us("k1.ts").alias("t1_us"),
+        _epoch_us("k2.ts").alias("t2_us"),
+        _epoch_us("k3.ts").alias("t3_us"),
+    )
+
+
+def _funnel_sql() -> str:
+    a, b, c = _FUNNEL_STAGES
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, {{'ts': ts, 'eid': event_id}} AS k, ts
+  FROM events
+), s1 AS (
+  SELECT user_id, MIN(k) AS k1 FROM ev WHERE event_type = '{a}'
+  GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.k) AS k2
+  FROM ev e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{b}' AND e.k > s1.k1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.k) AS k3
+  FROM ev e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{c}' AND e.k > s2.k2
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       CAST(1 + (s2.user_id IS NOT NULL)::int + (s3.user_id IS NOT NULL)::int
+            AS BIGINT) AS reached,
+       epoch_us((s1.k1).ts) AS t1_us,
+       epoch_us((s2.k2).ts) AS t2_us,
+       epoch_us((s3.k3).ts) AS t3_us
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
 EXTRA_QUERIES_EXT = {
+    "event_funnel": q_event_funnel,  # sequential-pattern staple, zero windows
     "ann_ivf_assign": q_ann_ivf_assign,  # subsumed: the search oracle embeds it
     "ann_ivf_search_p2": q_ann_ivf_search_p2,  # parameter variant of ann_ivf_search
     "ann_topk": q_ann_topk,  # brute-force exact-recall baseline (r4: yields its
@@ -963,6 +1061,7 @@ EXTRA_QUERIES_EXT = {
 }
 
 EXTRA_ORACLES_EXT = {
+    "event_funnel": _funnel_sql(),
     "ann_ivf_assign": _IVF_SQL,
     "ann_ivf_search_p2": _ivf_search_sql(2),
     "ann_topk": _ANN_TOPK_SQL,

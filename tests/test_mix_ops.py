@@ -259,3 +259,45 @@ def test_block_dedup_mega_boilerplate_block(spark):
         assert out[i]["n_shared_blocks"] == 1
     for i in range(1, 200, 2):
         assert out[i]["n_drop_blocks"] == 0 and out[i]["n_shared_blocks"] == 0
+
+
+# --- ordered event funnel (extra registry; lives in driver_queries_ext) -------------------
+
+
+def test_event_funnel_requires_strict_order(spark):
+    """A view BEFORE the signup must not advance the funnel, and a
+    purchase before the (ordered) view must not either — first-times
+    must be strictly increasing, not merely present."""
+    import datetime as dt
+
+    from coa_ocr_simple_spark.plans.driver_queries_ext import q_event_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, typ, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, typ, 0.0, "{}")
+
+    rows = [
+        # user 1: clean signup(0) -> view(10) -> purchase(20): reached 3
+        ev(1, 1, "signup", 0), ev(2, 1, "view", 10), ev(3, 1, "purchase", 20),
+        # user 2: view BEFORE signup, none after: reached 1
+        ev(4, 2, "view", 0), ev(5, 2, "signup", 10),
+        # user 3: purchase sits between signup and view: reached 2
+        ev(6, 3, "signup", 0), ev(7, 3, "purchase", 5), ev(8, 3, "view", 10),
+        # user 4: no signup at all: no row
+        ev(9, 4, "view", 0), ev(10, 4, "purchase", 5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {
+            r["user_id"]: r["reached"]
+            for r in q_event_funnel(spark, d).collect()
+        }
+    assert out == {1: 3, 2: 1, 3: 2}
