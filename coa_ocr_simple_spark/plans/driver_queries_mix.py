@@ -337,11 +337,58 @@ ORACLES_MIX = {
     "lang_mixture_sample": _mixture_sql(),
 }
 
+_BPE_TOP_PAIRS = 20
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE training round as an oracle-able query: top-20
+    adjacent character pairs by corpus word-frequency weight (the exact
+    argmax surface train_bpe iterates on).  The iterative trainer
+    itself (plans/bpe.py) is pinned by pytest against an independent
+    Python reference; this anchors the family in the DuckDB gate."""
+    from .bpe import _adjacent_pairs, word_weights
+
+    wc = word_weights(_docs(spark, sf_dir)).select(
+        "weight", F.split(F.col("word"), "").alias("seq")
+    )
+    return (
+        wc.select("weight", F.explode(_adjacent_pairs(F.col("seq"))).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("weight").alias("w"))
+        .orderBy(F.desc("w"), F.asc("a"), F.asc("b"))
+        .limit(_BPE_TOP_PAIRS)
+    )
+
+
+_BPE_PAIRS_SQL = f"""
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM (
+    SELECT unnest(regexp_split_to_array(lower(TRIM(text)), '\\s+')) AS word
+    FROM documents
+  )
+  WHERE word <> ''
+  GROUP BY word
+), pairs AS (
+  SELECT substring(word, CAST(i AS INTEGER), 1) AS a,
+         substring(word, CAST(i AS INTEGER) + 1, 1) AS b,
+         weight
+  FROM words, unnest(range(1, CAST(length(word) AS BIGINT))) AS r(i)
+)
+SELECT a, b, CAST(SUM(weight) AS BIGINT) AS w
+FROM pairs GROUP BY a, b
+ORDER BY w DESC, a ASC, b ASC
+LIMIT {_BPE_TOP_PAIRS}
+"""
+
+
 EXTRA_QUERIES_MIX = {
     "shard_manifest": q_shard_manifest,
     "lang_mixture_sample_a75": q_lang_mixture_sample_a75,  # temperature knob
+    "bpe_pair_counts": q_bpe_pair_counts,  # BPE round-1 argmax surface
 }
 EXTRA_ORACLES_MIX = {
     "shard_manifest": _manifest_sql(),
     "lang_mixture_sample_a75": _mixture_sql(0.75),
+    "bpe_pair_counts": _BPE_PAIRS_SQL,
 }

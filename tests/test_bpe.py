@@ -1,0 +1,123 @@
+"""Distributed BPE training vs an independent pure-Python reference:
+exact merge-list equality (weights and tie-breaks included), the
+left-to-right non-overlap merge rule, and the encoder round-trip."""
+
+from __future__ import annotations
+
+import collections
+
+from coa_ocr_simple_spark.plans.bpe import bpe_encode, train_bpe
+
+
+def _py_bpe(word_counts: dict[str, int], n_merges: int, min_pair_weight=2):
+    """Reference implementation, written independently of the Spark
+    fold: overlapping adjacent-pair counts, max-weight /
+    lexicographically-smallest-pair tie-break, left-to-right
+    non-overlapping merge."""
+    seqs = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs: collections.Counter = collections.Counter()
+        for w, c in word_counts.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), weight = best
+        if weight < min_pair_weight:
+            break
+        merges.append((a, b, weight))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_train_bpe_matches_python_reference(spark):
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest",
+        "newest newest newest widest widest",
+        "lowest lowest newest wider wide",
+    ]
+    counts: collections.Counter = collections.Counter()
+    for t in texts:
+        counts.update(t.split())
+    expected = _py_bpe(dict(counts), 12)
+    got = train_bpe(_docs_df(spark, texts), 12)
+    assert got == expected
+    assert len(got) >= 8  # the corpus genuinely supports many merges
+
+
+def test_train_bpe_overlap_and_tiebreak(spark):
+    # "aaaa" x3: round 1 counts (a,a)=9 (overlapping), merges to
+    # [aa, aa]; round 2 merges (aa, aa)
+    got = train_bpe(_docs_df(spark, ["aaaa aaaa aaaa"]), 2)
+    assert got == _py_bpe({"aaaa": 3}, 2)
+    assert got[0][:2] == ("a", "a") and got[0][2] == 9
+    assert got[1][:2] == ("aa", "aa")
+
+    # exact tie between (b,c) and (c,d) in "bcd": lexicographically
+    # smaller pair must win deterministically
+    tie = train_bpe(_docs_df(spark, ["bcd bcd"]), 1)
+    assert tie == _py_bpe({"bcd": 2}, 1)
+    assert tie[0][:2] == ("b", "c")
+
+
+def test_bpe_encode_roundtrip(spark):
+    texts = ["hugging hugging hugging bug bug rugged rugged"]
+    merges = train_bpe(_docs_df(spark, texts), 8)
+    for word in ("hugging", "bug", "rugged", "unseen"):
+        toks = bpe_encode(word, merges)
+        assert "".join(toks) == word  # lossless
+    # learned merges compress the trained words
+    assert len(bpe_encode("hugging", merges)) < len("hugging")
+
+
+def test_train_bpe_job_writes_ranked_merge_table(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coa_ocr_simple_spark.jobs import train_bpe as job
+
+    docs_path = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"doc_id": i, "text": "seed seed seeding", "lang": "en",
+                 "source": "s", "n_chars": 17}
+                for i in range(5)
+            ]
+        ),
+        docs_path,
+    )
+    out = str(tmp_path / "merges")
+    summary = job.run(
+        job.parse_args(
+            ["--input", docs_path, "--output", out, "--n-merges", "6"]
+        ),
+        spark,
+    )
+    assert 1 <= summary["n_merges_learned"] <= 6
+    table = spark.read.parquet(out).orderBy("merge_rank").collect()
+    assert [r["merge_rank"] for r in table] == list(
+        range(summary["n_merges_learned"])
+    )
+    got = [(r["a"], r["b"], r["weight"]) for r in table]
+    assert got == _py_bpe({"seed": 10, "seeding": 5}, 6)
