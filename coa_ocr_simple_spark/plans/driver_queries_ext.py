@@ -1050,8 +1050,66 @@ FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by the Monday week of
+    their FIRST signup; each later week they show any activity counts
+    them active at that week offset.  (cohort_day, week_offset,
+    n_users) — the onboarding-health staple next to the funnel.
+
+    Shape: min-aggregate for the cohort, co-partitioned join back to
+    events, distinct + count aggregates — zero windows, map-side
+    combinable, no per-user bound needed.  Weeks are Monday-truncated
+    in BOTH engines (Spark date_trunc('week') == DuckDB
+    date_trunc('week')); days-since-epoch integers avoid every
+    timestamp-type cast pitfall."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    wk_days = F.unix_date(F.to_date(F.date_trunc("week", F.col("ts"))))
+    cohort = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(wk_days).alias("cohort_day"))
+    )
+    active = (
+        ev.select("user_id", wk_days.alias("wk"))
+        .join(cohort, "user_id")
+        .where(F.col("wk") >= F.col("cohort_day"))
+        .select(
+            "user_id",
+            "cohort_day",
+            ((F.col("wk") - F.col("cohort_day")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_day", "week_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+_RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(CAST(date_trunc('week', ts) AS DATE) - DATE '1970-01-01'
+              AS BIGINT) AS wk
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(wk) AS cohort_day FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+), active AS (
+  SELECT DISTINCT e.user_id, c.cohort_day,
+         CAST((e.wk - c.cohort_day) / 7 AS BIGINT) AS week_offset
+  FROM ev e JOIN cohort c USING (user_id)
+  WHERE e.wk >= c.cohort_day
+)
+SELECT cohort_day, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM active GROUP BY cohort_day, week_offset
+"""
+
+
 EXTRA_QUERIES_EXT = {
     "event_funnel": q_event_funnel,  # sequential-pattern staple, zero windows
+    "retention_cohorts": q_retention_cohorts,  # weekly retention triangle
     "ann_ivf_assign": q_ann_ivf_assign,  # subsumed: the search oracle embeds it
     "ann_ivf_search_p2": q_ann_ivf_search_p2,  # parameter variant of ann_ivf_search
     "ann_topk": q_ann_topk,  # brute-force exact-recall baseline (r4: yields its
@@ -1062,6 +1120,7 @@ EXTRA_QUERIES_EXT = {
 
 EXTRA_ORACLES_EXT = {
     "event_funnel": _funnel_sql(),
+    "retention_cohorts": _RETENTION_SQL,
     "ann_ivf_assign": _IVF_SQL,
     "ann_ivf_search_p2": _ivf_search_sql(2),
     "ann_topk": _ANN_TOPK_SQL,
