@@ -121,3 +121,20 @@ def test_train_bpe_job_writes_ranked_merge_table(spark, tmp_path):
     )
     got = [(r["a"], r["b"], r["weight"]) for r in table]
     assert got == _py_bpe({"seed": 10, "seeding": 5}, 6)
+
+
+def test_train_bpe_unicode_parity(spark):
+    """Non-ASCII safety: Spark's empty-regex split yields CODEPOINTS
+    (astral chars like U+1D518 stay whole, not surrogate halves), so
+    CJK/emoji/accented corpora train identical merge tables to the
+    Python reference."""
+    texts = [
+        "世界 世界 世界 こんにちは こんにちは",
+        "héllo héllo héllo 𝔘𝔫𝔦 𝔘𝔫𝔦 𝔘𝔫𝔦 𝔘𝔫𝔦",
+    ]
+    counts: collections.Counter = collections.Counter()
+    for t in texts:
+        counts.update(t.split())
+    got = train_bpe(_docs_df(spark, texts), 8)
+    assert got == _py_bpe(dict(counts), 8)
+    assert any(not a.isascii() for a, _, _ in got)  # merges are genuinely non-ASCII
