@@ -979,18 +979,26 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("eid"))
 
+    # s1 and s2 each feed TWO consumers (the next stage's join and the
+    # final assembly) — no cross-branch CSE, so without a persist the
+    # events scan + aggregate re-executes per consumer.  The frames are
+    # one row per user, tiny; eager fill per the house rule.
     s1 = (
         ev.where(F.col("event_type") == _FUNNEL_STAGES[0])
         .groupBy("user_id")
         .agg(F.min(k).alias("k1"))
+        .persist()
     )
+    s1.count()
     s2 = (
         ev.where(F.col("event_type") == _FUNNEL_STAGES[1])
         .join(s1, "user_id")
         .where(k > F.col("k1"))
         .groupBy("user_id")
         .agg(F.min(k).alias("k2"))
+        .persist()
     )
+    s2.count()
     s3 = (
         ev.where(F.col("event_type") == _FUNNEL_STAGES[2])
         .join(s2, "user_id")
@@ -1056,31 +1064,44 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     them active at that week offset.  (cohort_day, week_offset,
     n_users) — the onboarding-health staple next to the funnel.
 
-    Shape: min-aggregate for the cohort, co-partitioned join back to
-    events, distinct + count aggregates — zero windows, map-side
+    Shape: ONE events pass collapsing to a per-(user, week) frame (the
+    deduplication happens in that aggregate), then a tiny cohort
+    min-aggregate and a co-partitioned join — zero windows, map-side
     combinable, no per-user bound needed.  Weeks are Monday-truncated
     in BOTH engines (Spark date_trunc('week') == DuckDB
     date_trunc('week')); days-since-epoch integers avoid every
     timestamp-type cast pitfall."""
     ev = _read(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     wk_days = F.unix_date(F.to_date(F.date_trunc("week", F.col("ts"))))
+    # ONE pass over events: collapse to (user, week, had_signup) first —
+    # the cohort and activity branches then both read this per-user-week
+    # frame (persisted + eagerly filled: two consumers, no cross-branch
+    # CSE), instead of each re-scanning the raw events table.
+    uw = (
+        ev.select(
+            "user_id",
+            wk_days.alias("wk"),
+            (F.col("event_type") == "signup").alias("is_signup"),
+        )
+        .groupBy("user_id", "wk")
+        .agg(F.max("is_signup").alias("had_signup"))
+        .persist()
+    )
+    uw.count()
     cohort = (
-        ev.where(F.col("event_type") == "signup")
+        uw.where(F.col("had_signup"))
         .groupBy("user_id")
-        .agg(F.min(wk_days).alias("cohort_day"))
+        .agg(F.min("wk").alias("cohort_day"))
     )
     active = (
-        ev.select("user_id", wk_days.alias("wk"))
-        .join(cohort, "user_id")
+        uw.join(cohort, "user_id")
         .where(F.col("wk") >= F.col("cohort_day"))
         .select(
-            "user_id",
             "cohort_day",
             ((F.col("wk") - F.col("cohort_day")) / 7)
             .cast("long")
             .alias("week_offset"),
         )
-        .distinct()
     )
     return active.groupBy("cohort_day", "week_offset").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
