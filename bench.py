@@ -56,6 +56,9 @@ def make_session(cpus: int, shuffle_partitions: int | None = None):
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # oracle parity must not depend on the host JVM's default zone
+        # (events.ts is timestamp-NTZ; see driver_queries_ext.event_funnel)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .getOrCreate()

@@ -67,8 +67,9 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
             F.floor(F.col("n_drop_blocks") * 100 / F.col("n_blocks"))
             > args.max_dup_block_pct
         ).select("doc_id")
-        final = final.join(bad, "doc_id", "left_anti").persist()
+        prev, final = final, final.join(bad, "doc_id", "left_anti").persist()
         summary["n_after_block_dedup"] = final.count()  # also the eager fill
+        prev.unpersist()  # superseded frame would stay pinned for the job
 
     if args.lang_rebalance:
         # temperature (alpha=0.5) language rebalancing of the survivors —
@@ -80,8 +81,9 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         kept = lang_mixture_sample(surv_docs, alpha=args.lang_alpha).select(
             "doc_id"
         )
-        final = final.join(kept, "doc_id", "left_semi").persist()
+        prev, final = final, final.join(kept, "doc_id", "left_semi").persist()
         summary["n_after_lang_rebalance"] = final.count()
+        prev.unpersist()
 
     curated = docs.join(final, "doc_id", "left_semi")
     io.append(curated, args.output)

@@ -81,7 +81,9 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         train, ev, n=args.n, min_grams=args.min_grams
     ).persist()
     n_flagged = report.count()  # also the eager fill for report/clean writes
-    io.append(report, args.report)
+    # overwrite: a re-run replaces the previous report rather than
+    # duplicating its rows in a path-based parquet directory
+    io.overwrite(report, args.report)
 
     summary = {
         "n_train": train.count(),
@@ -93,7 +95,7 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
     if args.clean_output:
         flagged_ids = report.select(F.col("train_doc_id").alias("doc_id"))
         cleaned = train.join(flagged_ids, "doc_id", "left_anti")
-        io.append(cleaned, args.clean_output)
+        io.overwrite(cleaned, args.clean_output)
         summary["n_clean"] = summary["n_train"] - n_flagged
     return summary
 

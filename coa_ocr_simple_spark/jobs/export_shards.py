@@ -35,7 +35,11 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
     manifest = shard_manifest(docs, n_shards=args.n_shards).persist()
     expected = {r["shard_id"]: r["n_docs"] for r in manifest.collect()}
     if args.manifest:
-        io.append(manifest, args.manifest)
+        # overwrite, not append: shard data is itself written with
+        # overwrite semantics, so a re-run must replace the manifest too —
+        # stale rows would break the trainer-verifies-against-manifest
+        # contract for any consumer reading the whole directory
+        io.overwrite(manifest, args.manifest)
 
     # verify the written files against the manifest (the same check a
     # trainer runs) before claiming success

@@ -1013,11 +1013,22 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("k3").isNotNull().cast("int")
     )
     def _epoch_us(c):
-        # exact integer microseconds (unix_micros / epoch_us), NOT
-        # seconds: ts has sub-second precision and a seconds cast
-        # truncates in Spark but ROUNDS in DuckDB's epoch() double —
-        # measured off-by-one on ~half the rows
-        return F.unix_micros(F.col(c).cast("timestamp_ltz"))
+        # exact integer microseconds (epoch_us), NOT seconds: ts has
+        # sub-second precision and a seconds cast truncates in Spark but
+        # ROUNDS in DuckDB's epoch() double — measured off-by-one on
+        # ~half the rows.  Derived from the NTZ wall clock with integer
+        # field extraction, NEVER via cast('timestamp_ltz')+unix_micros:
+        # that pair shifts by spark.sql.session.timeZone, so parity with
+        # the tz-free DuckDB oracle would hold only on a UTC-default JVM.
+        col = F.col(c)
+        frac_us = F.expr(f"extract(second from {c})") * 1000000
+        return (
+            F.datediff(col.cast("date"), F.lit("1970-01-01")).cast("long")
+            * F.lit(86_400_000_000)
+            + F.hour(col).cast("long") * F.lit(3_600_000_000)
+            + F.minute(col).cast("long") * F.lit(60_000_000)
+            + frac_us.cast("long")
+        )
 
     return out.select(
         "user_id",

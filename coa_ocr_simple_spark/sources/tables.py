@@ -52,6 +52,16 @@ class TableIO:
                 # table does not exist yet: create-or-replace v2 path
                 df.writeTo(identifier).createOrReplace()
 
+    def overwrite(self, df: DataFrame, identifier: str) -> None:
+        """Replace the target's contents.  The right mode for re-runnable
+        control outputs (manifests, reports): append-on-rerun accumulates
+        stale rows alongside the new ones in a path-based parquet target,
+        which breaks any consumer that reads the whole directory."""
+        if _is_path(identifier):
+            df.write.mode("overwrite").parquet(identifier)
+        else:
+            df.writeTo(identifier).createOrReplace()
+
     def exists(self, identifier: str) -> bool:
         if _is_path(identifier):
             return os.path.exists(identifier) and any(

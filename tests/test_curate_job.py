@@ -228,6 +228,21 @@ def test_export_shards_job_verifies_manifest(spark, tmp_path):
         spark,
     )
     assert summary["verified"] and summary["n_docs"] == 32
-    m = spark.read.parquet(man)
-    assert m.count() == summary["n_shards_written"]
-    assert {r["shard_id"] for r in m.collect()} <= set(range(8))
+    m_rows = sorted(map(tuple, spark.read.parquet(man).collect()))
+    assert len(m_rows) == summary["n_shards_written"]
+    assert {r[0] for r in m_rows} <= set(range(8))
+
+    # re-running the job must REPLACE the manifest, not append to it:
+    # shard data is overwritten, so a stale+fresh manifest mix would break
+    # the trainer's verify-against-manifest contract
+    summary2 = export_shards.run(
+        export_shards.parse_args(
+            ["--input", docs_path, "--output", out,
+             "--manifest", man, "--n-shards", "8"]
+        ),
+        spark,
+    )
+    assert summary2["verified"]
+    m2_rows = sorted(map(tuple, spark.read.parquet(man).collect()))
+    assert len(m2_rows) == summary2["n_shards_written"]  # no duplicated rows
+    assert m2_rows == m_rows

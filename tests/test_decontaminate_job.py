@@ -72,6 +72,24 @@ def test_decontaminate_flags_leaky_train_docs(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in spark.read.parquet(clean).collect())
     assert kept == [1, 2]
 
+    # re-running must REPLACE the report and clean output, not append —
+    # a path-based parquet report that accumulates stale rows breaks any
+    # consumer reading the whole directory (round-4 advice item)
+    summary2 = run(
+        parse_args(
+            [
+                "--train", str(train_path), "--eval", str(eval_path),
+                "--report", report, "--clean-output", clean,
+            ]
+        ),
+        spark,
+    )
+    assert summary2["n_flagged"] == 1
+    assert spark.read.parquet(report).count() == 1  # not 2
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(clean).collect()
+    ) == [1, 2]
+
 
 def test_decontaminate_min_grams_threshold(spark, tmp_path):
     eval_sent = " ".join(f"bench{i}" for i in range(15))  # 3 shared grams

@@ -301,3 +301,41 @@ def test_event_funnel_requires_strict_order(spark):
             for r in q_event_funnel(spark, d).collect()
         }
     assert out == {1: 3, 2: 1, 3: 2}
+
+
+def test_event_funnel_epoch_is_session_timezone_independent(spark):
+    """t1/t2/t3_us must be derived from the NTZ wall clock itself, never
+    via cast('timestamp_ltz')+unix_micros — that pair shifts by
+    spark.sql.session.timeZone, so the oracle gate would pass only on a
+    UTC-default JVM (round-4 advice item)."""
+    import datetime as dt
+    import tempfile
+
+    from coa_ocr_simple_spark.plans.driver_queries_ext import q_event_funnel
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0, 250000)
+    rows = [
+        (1, t0, 1, "signup", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=5), 1, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    expect_t1 = int(
+        (t0 - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+    )
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        try:
+            got = {}
+            for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+                spark.conf.set("spark.sql.session.timeZone", tz)
+                row = q_event_funnel(spark, d).collect()[0]
+                got[tz] = (row["t1_us"], row["t2_us"])
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", saved)
+    assert got["UTC"] == (expect_t1, expect_t1 + 300 * 1_000_000)
+    assert len(set(got.values())) == 1, got  # identical under every tz
