@@ -189,17 +189,24 @@ def gram_decontamination(docs: DataFrame, n: int = _DECON_N) -> DataFrame:
     """Eval docs (doc_id % 10 == 0) sharing any exact n-token gram with a
     train doc, with the overlap mass: (eval_doc_id, n_overlap_grams,
     n_train_docs)."""
-    # the gram derivation (explode + md5 over the whole corpus) feeds BOTH
-    # the eval and train branches of the self-join — no cross-branch CSE,
-    # so persist with an eager fill or it executes twice per run
-    grams = _token_grams(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
-    grams.count()
-    ev = grams.where(F.col("doc_id") % 10 == 0).select(
+    # Only the TRAIN grams have two consumers (the hot-gram guard
+    # aggregate and the pair join) and need a persist + eager fill — the
+    # eval grams feed the join alone, so deriving them straight from the
+    # 10% doc split skips materializing + caching that share entirely
+    # (round-4 verdict: persisting the full corpus' grams wrote the eval
+    # side's grams once for one cheap consumer; at 100 TB the eval split
+    # is tiny and that write was the step's wall).  Each doc's grams are
+    # still computed exactly once: the split filters are disjoint and
+    # push down to the documents scan.
+    ev = _token_grams(docs.where(F.col("doc_id") % 10 == 0), n).select(
         F.col("doc_id").alias("eval_doc_id"), "g"
     )
-    tr = grams.where(F.col("doc_id") % 10 != 0).select(
-        F.col("doc_id").alias("train_doc_id"), "g"
+    tr = (
+        _token_grams(docs.where(F.col("doc_id") % 10 != 0), n)
+        .select(F.col("doc_id").alias("train_doc_id"), "g")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    tr.count()  # eager fill: guard + join are independent consumers
     # hot-gram guard (see _MAX_GRAM_TRAIN_DOCS): distinct-doc count per
     # gram is a map-side-combinable aggregate over the persisted grams;
     # the semi-join keys the same column the pair join shuffles on
