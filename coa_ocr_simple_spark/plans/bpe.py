@@ -26,6 +26,7 @@ independent pure-Python implementation, tie-breaks included.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -132,9 +133,10 @@ def train_bpe(
 
 def bpe_encode(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
     """Driver-side encoder applying the learned merges in order — the
-    oracle-free round-trip check (and what a tokenizer ships)."""
+    reference semantics ``encode_corpus`` must match per word (and what
+    a tokenizer ships)."""
     seq = list(word)
-    for a, b, _ in merges:
+    for a, b, *_ in merges:
         out: list[str] = []
         i = 0
         while i < len(seq):
@@ -146,3 +148,105 @@ def bpe_encode(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
                 i += 1
         seq = out
     return seq
+
+
+# --- distributed corpus encoding (the other half of the BPE loop) -----------------------
+
+# chained-fold expression depth is real Catalyst/codegen money (one
+# _merge_fold per merge nests inside the next); past this many merges the
+# Arrow-batched Python encoder is the faster AND safer engine
+_FOLD_ENGINE_MAX_MERGES = 64
+
+
+def encode_tokens_expr(text_col, merges) -> "F.Column":
+    """Column expression: the full BPE token sequence of a text — words
+    split exactly like training (lower + trim + \\s+), each word's chars
+    folded through every merge IN ORDER via the same JVM ``_merge_fold``
+    the trainer uses.  Zero shuffle, zero Python: the whole encode is one
+    per-row projection, so it pipelines into any downstream operator and
+    is streaming-safe.  Every subexpression depends on the lambda
+    variable, so per-word evaluation inside the transform is inherent,
+    not the CollapseProject re-evaluation hazard."""
+    words = F.filter(
+        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda w: w != ""
+    )
+
+    def enc(w):
+        seq = F.split(w, "")
+        for a, b, *_ in merges:
+            seq = _merge_fold(seq, a, b)
+        return seq
+
+    return F.flatten(F.transform(words, enc))
+
+
+def _encode_pandas(merges):
+    """Arrow-batched encoder for big merge lists: the SAME Python
+    reference (``bpe_encode``) the tests pin, applied per DISTINCT word
+    via a per-batch cache — Zipf makes the hit rate high, so each common
+    word is encoded once per batch, not once per occurrence."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    frozen = [(a, b) for a, b, *_ in merges]
+
+    @pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in re.split(r"\s+", (t or "").strip().lower()):
+                if not w:
+                    continue
+                enc_w = cache.get(w)
+                if enc_w is None:
+                    enc_w = bpe_encode(w, frozen)
+                    cache[w] = enc_w
+                toks.extend(enc_w)
+            out.append(toks)
+        return pd.Series(out)
+
+    return enc
+
+
+def encode_corpus(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    *,
+    engine: str = "auto",
+) -> DataFrame:
+    """(doc_id, tokens, n_tokens): the learned merge list applied to the
+    whole corpus — the step every training-data export actually runs
+    after ``train_bpe``.  The merge list is driver-side data (tiny); it
+    is baked into the plan, so nothing about the corpus is collected.
+
+    engine='fold'  : pure-JVM chained ``_merge_fold`` projection (zero
+                     shuffle; expression depth grows with len(merges)).
+    engine='pandas': Arrow-batched Python encoder (same ``bpe_encode``
+                     reference, per-batch word cache) — the path for
+                     production-size merge lists where a 32k-deep
+                     Catalyst expression is not viable.
+    engine='auto'  : fold up to _FOLD_ENGINE_MAX_MERGES merges, else
+                     pandas.  Both engines are parity-pinned by
+                     tests/test_bpe.py."""
+    if engine == "auto":
+        engine = (
+            "fold" if len(merges) <= _FOLD_ENGINE_MAX_MERGES else "pandas"
+        )
+    if engine == "fold":
+        toks = encode_tokens_expr(F.col("text"), merges)
+    elif engine == "pandas":
+        toks = _encode_pandas(merges)(F.col("text"))
+    else:
+        raise ValueError(f"unknown engine: {engine!r}")
+    # two projections, and `tokens` referenced twice downstream: the
+    # encode expression is materialized once instead of once per output
+    # column (CollapseProject only inlines single-reference columns)
+    out = docs.select("doc_id", toks.alias("tokens"))
+    return out.select(
+        "doc_id",
+        "tokens",
+        F.size("tokens").cast("long").alias("n_tokens"),
+    )

