@@ -136,6 +136,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     twins / strict subsets of registered families).  Not part of the
     driver contract; the local gate (scripts/check_oracles.py) and
     tests/test_extra_oracles.py keep them correct."""
+    from coa_ocr_simple_spark.plans.driver_queries_dedup import (
+        EXTRA_QUERIES_DEDUP,
+    )
     from coa_ocr_simple_spark.plans.driver_queries_ext import EXTRA_QUERIES_EXT
     from coa_ocr_simple_spark.plans.driver_queries_mix import EXTRA_QUERIES_MIX
     from coa_ocr_simple_spark.plans.driver_queries_quality import (
@@ -148,10 +151,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXTRA_QUERIES_REL,
         **EXTRA_QUERIES_QUALITY,
         **EXTRA_QUERIES_MIX,
+        **EXTRA_QUERIES_DEDUP,
     }
 
 
 def extra_oracle_sql() -> dict[str, str]:
+    from coa_ocr_simple_spark.plans.driver_queries_dedup import (
+        EXTRA_ORACLES_DEDUP,
+    )
     from coa_ocr_simple_spark.plans.driver_queries_ext import EXTRA_ORACLES_EXT
     from coa_ocr_simple_spark.plans.driver_queries_mix import EXTRA_ORACLES_MIX
     from coa_ocr_simple_spark.plans.driver_queries_quality import (
@@ -164,4 +171,5 @@ def extra_oracle_sql() -> dict[str, str]:
         **EXTRA_ORACLES_REL,
         **EXTRA_ORACLES_QUALITY,
         **EXTRA_ORACLES_MIX,
+        **EXTRA_ORACLES_DEDUP,
     }

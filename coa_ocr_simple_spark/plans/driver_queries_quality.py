@@ -678,6 +678,134 @@ GROUP BY lang
 """
 
 
+# --- bigram-LM perplexity quality filter (CCNet-style) ------------------------------------
+
+# unseen-bigram penalty in bits: a fixed cap standing in for backoff
+# smoothing — integer-exact and cross-engine identical, unlike any
+# float Kneser-Ney.  20 bits ~= P = 1e-6, well above any seen bigram's
+# cost at the test SFs.
+_LM_UNSEEN_BITS = 20
+# held-in reference slice the bigram counts are trained on (CCNet trains
+# its LM on a clean reference corpus; the doc_id slice is the oracle-able
+# stand-in, like gram_decontamination's split)
+_LM_TRAIN_MOD = 1
+# fluency gate: average bits/bigram <= 5 (integer cross-multiplication,
+# no division) — the CCNet-style "head" split: docs whose bigrams track
+# the reference slice's distribution pass, surprising ones fail (the
+# test corpora's per-doc averages span ~3.8-7.4 bits, so the gate
+# genuinely discriminates rather than rubber-stamping)
+_LM_FLUENT_MILLE_MAX = 5000
+
+
+def lm_perplexity(docs: DataFrame) -> DataFrame:
+    """Per-doc bigram-LM negative-log-likelihood — the CCNet-style
+    quality filter: score every document by how surprising its word
+    bigrams are under counts trained on a held-in reference slice
+    (doc_id % 10 == _LM_TRAIN_MOD), flag the fluent ones.
+
+    Integer-exact cross-engine recipe: -log2 P(b|a) is approximated by
+    floor(log2(c_ctx / c_pair)) = LENGTH(bin(c_ctx // c_pair)) - 1 (the
+    tfidf_keywords trick — no float log anywhere), unseen bigrams pay a
+    flat _LM_UNSEEN_BITS, and the per-doc average is an integer
+    mille-bits with a cross-multiplied threshold.
+
+    Scale shape: train counts are two map-side-combinable aggregates
+    over the (tiny) reference slice's bigram explode; scoring is ONE
+    corpus bigram explode joined to the two vocab-sized count tables
+    (dimension-style equi-joins — one build row per key, no fan-out)
+    and re-aggregated per doc.  The context counts derive from the pair
+    counts (sum over b), so the train slice is exploded exactly once."""
+    from .bpe import _adjacent_pairs
+
+    def bigram_rows(d: DataFrame) -> DataFrame:
+        toks = d.select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda w: w != "",
+            ).alias("t"),
+        )
+        return toks.select(
+            "doc_id", F.explode(_adjacent_pairs(F.col("t"))).alias("p")
+        ).select("doc_id", "p.a", "p.b")
+
+    pair_c = (
+        bigram_rows(docs.where(F.col("doc_id") % 10 == _LM_TRAIN_MOD))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pair_c.count()  # eager fill: context derivation + scoring join
+    ctx_c = pair_c.groupBy("a").agg(F.sum("c_pair").alias("c_ctx"))
+
+    bits = F.when(
+        F.col("c_pair").isNull(), F.lit(_LM_UNSEEN_BITS)
+    ).otherwise(
+        F.length(F.bin((F.col("c_ctx") / F.col("c_pair")).cast("long"))) - 1
+    )
+    per_doc = (
+        bigram_rows(docs)
+        .join(pair_c, ["a", "b"], "left")
+        .join(ctx_c, ["a"], "left")
+        .select("doc_id", bits.alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bits").alias("total_bits"),
+        )
+    )
+    n = F.col("n_bigrams")
+    total = F.col("total_bits")
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(total, F.lit(0)).cast("long").alias("total_bits"),
+        F.coalesce(F.floor(total * 1000 / n), F.lit(0))
+        .cast("long")
+        .alias("mille_bits"),
+        F.coalesce(total * 1000 <= F.lit(_LM_FLUENT_MILLE_MAX) * n, F.lit(False))
+        .alias("is_fluent"),
+    )
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_perplexity(_docs(spark, sf_dir))
+
+
+_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(TRIM(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, t[i + 1] AS a, t[i + 2] AS b
+  FROM toks, unnest(range(0, len(t) - 1)) AS r(i)
+), pc AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_pair
+  FROM bg WHERE doc_id % 10 = {_LM_TRAIN_MOD} GROUP BY a, b
+), cc AS (
+  SELECT a, CAST(SUM(c_pair) AS BIGINT) AS c_ctx FROM pc GROUP BY a
+), scored AS (
+  SELECT bg.doc_id,
+         CASE WHEN pc.c_pair IS NULL THEN {_LM_UNSEEN_BITS}
+              ELSE LENGTH(bin(cc.c_ctx // pc.c_pair)) - 1 END AS bits
+  FROM bg LEFT JOIN pc USING (a, b) LEFT JOIN cc USING (a)
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(bits) AS total_bits
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(p.total_bits, 0) AS BIGINT) AS total_bits,
+       CAST(COALESCE(p.total_bits * 1000 // p.n_bigrams, 0) AS BIGINT)
+         AS mille_bits,
+       COALESCE(p.total_bits * 1000 <= {_LM_FLUENT_MILLE_MAX} * p.n_bigrams,
+                FALSE) AS is_fluent
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 QUERIES_QUALITY = {
     "repetition_stats": q_repetition_stats,
     "gram_decontamination": q_gram_decontamination,
@@ -685,6 +813,7 @@ QUERIES_QUALITY = {
     "edit_distance_pairs": q_edit_distance_pairs,
     "sequence_packing_split": q_sequence_packing_split,
     "stratified_sample": q_stratified_sample,
+    "lm_perplexity": q_lm_perplexity,
 }
 
 ORACLES_QUALITY = {
@@ -694,6 +823,7 @@ ORACLES_QUALITY = {
     "edit_distance_pairs": _edit_distance_sql(),
     "sequence_packing_split": _PACKING_SPLIT_SQL,
     "stratified_sample": _stratified_sql(),
+    "lm_perplexity": _LM_SQL,
 }
 
 # Demoted from the 50-entry driver registry (round 4): the plain
