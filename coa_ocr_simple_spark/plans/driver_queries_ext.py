@@ -412,6 +412,14 @@ _PQ_SEED_MOD = 31  # vec_id % 31 == 1 -> codebook seed vector
 # (~128 seed rows at ANY corpus scale — a constant-size global window,
 # like the centroid rank), from which the first _PQ_K become codewords
 _PQ_SEED_SCAN = _PQ_SEED_MOD * _PQ_K * 8
+# fixed-point scale for Lloyd-refined centroids: cluster means stay
+# exact integers as (elementwise_sum * _PQ_LLOYD_Q) DIV n — truncating
+# integer division, identical in Spark (`DIV`) and DuckDB (`//`).
+# Comparing (Q * sub) against Q-scaled centroids preserves the argmin
+# exactly; magnitudes stay < 2^53 (|Q*x| ~ 1e6, d2 <= ~2e13).
+_PQ_LLOYD_Q = 1024
+# swept: 2 steps is the recall sweet spot (see _pq_codebook_lloyd)
+_PQ_LLOYD_STEPS = 2
 
 
 def _pq_subspace_explode(df, vec_col: str = "qv"):
@@ -468,12 +476,25 @@ def _sq_l2(a: str, b: str):
     )
 
 
-def _pq_codes_df(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+def _pq_codes_df(emb: DataFrame, codebook: DataFrame, scale: int = 1) -> DataFrame:
     """(vec_id, m, code, dist_q): each subvector's nearest codeword by
     exact integer squared-L2, explicit code tie-break.  The rank window
-    is per (vec_id, m) over exactly _PQ_K rows — constant-bounded."""
+    is per (vec_id, m) over exactly _PQ_K rows — constant-bounded.
+
+    ``scale`` compares (scale * sub) against the codebook — the hook for
+    Lloyd-refined codebooks whose centroids are fixed-point means in
+    scale-units (a common positive factor preserves the argmin)."""
     pairs = _pq_subspace_explode(emb).join(F.broadcast(codebook), "m")
-    d2 = _sq_l2("sub", "cwv")
+    sub = (
+        F.col("sub")
+        if scale == 1
+        else F.transform("sub", lambda x: x * scale)
+    )
+    d2 = F.aggregate(
+        F.zip_with(sub, F.col("cwv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("code"))
     return (
         pairs.select("vec_id", "m", "code", d2.alias("d2"))
@@ -535,6 +556,155 @@ WITH q AS (
 SELECT vec_id, m, code, dist_q FROM codes
 """
 
+def _pq_lloyd_chain(steps: int = _PQ_LLOYD_STEPS) -> str:
+    """Lloyd-refinement CTE chain (appended to the seed-codebook chain):
+    one block per step — assign Q-scaled subvectors to the current
+    Q-scaled codebook, re-center each (m, code) cluster on its members'
+    RAW-unit elementwise mean in _PQ_LLOYD_Q fixed-point ((s * Q) // n,
+    truncating division = Spark's DIV), empty clusters keep the previous
+    centroid.  Ends with `cbq` (the refined codebook) and `codes_q`
+    (the final assignment with distances, in Q^2 units)."""
+    q = _PQ_LLOYD_Q
+    sql = f"""{_PQ_CB_SQL}, subsq AS (
+    SELECT vec_id, m, list_transform(sub, x -> x * {q}) AS sub
+    FROM subs
+  ), cbq0 AS (
+    SELECT m, code, list_transform(cwv, x -> x * {q}) AS cwv FROM cb
+  )"""
+    for t in range(1, steps + 1):
+        sql += f"""
+  , sc{t} AS (
+    SELECT s.vec_id, s.m, c.code,
+           CAST(list_dot_product(s.sub, s.sub)
+                - 2 * list_dot_product(s.sub, c.cwv)
+                + list_dot_product(c.cwv, c.cwv) AS BIGINT) AS d2
+    FROM subsq s JOIN cbq{t - 1} c USING (m)
+  ), asg{t} AS (
+    SELECT vec_id, m, code FROM (
+      SELECT vec_id, m, code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                ORDER BY d2 ASC, code ASC) AS rn
+      FROM sc{t}
+    ) WHERE rn = 1
+  ), dims{t} AS (
+    SELECT s.m, a.code, i AS d, s.sub[CAST(i + 1 AS BIGINT)] AS v
+    FROM subs s JOIN asg{t} a ON s.vec_id = a.vec_id AND s.m = a.m,
+         unnest(range(0, len(s.sub))) AS r(i)
+  ), sums{t} AS (
+    SELECT m, code, d, CAST(SUM(v) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dims{t} GROUP BY m, code, d
+  ), ref{t} AS (
+    SELECT m, code, list((s * {q}) // n ORDER BY d) AS cwv
+    FROM sums{t} GROUP BY m, code
+  ), cbq{t} AS (
+    SELECT c.m, c.code, COALESCE(r.cwv, c.cwv) AS cwv
+    FROM cbq{t - 1} c LEFT JOIN ref{t} r USING (m, code)
+  )"""
+    sql += f"""
+  , cbq AS (
+    SELECT m, code, cwv FROM cbq{steps}
+  ), scored_codes_q AS (
+    SELECT s.vec_id, s.m, cbq.code,
+           CAST(list_dot_product(s.sub, s.sub)
+                - 2 * list_dot_product(s.sub, cbq.cwv)
+                + list_dot_product(cbq.cwv, cbq.cwv) AS BIGINT) AS d2
+    FROM subsq s JOIN cbq USING (m)
+  ), codes_q AS (
+    SELECT vec_id, m, code, d2 AS dist_q FROM (
+      SELECT vec_id, m, code, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                ORDER BY d2 ASC, code ASC) AS rn
+      FROM scored_codes_q
+    ) WHERE rn = 1
+  )"""
+    return sql
+
+
+_PQ_LLOYD_SQL = _pq_lloyd_chain()
+
+_PQ_CODES_LLOYD_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),{_PQ_LLOYD_SQL}
+SELECT vec_id, m, code, dist_q FROM codes_q
+"""
+
+
+def _pq_codebook_lloyd(
+    emb: DataFrame, steps: int = None
+) -> DataFrame:
+    """(m, code, cwv): the seed codebook refined by _PQ_LLOYD_STEPS
+    exact-integer Lloyd steps (round-4 verdict item 5) — per step,
+    assign every subvector to its nearest current centroid and
+    re-center each (m, code) cluster on its members' elementwise mean,
+    kept integer in _PQ_LLOYD_Q fixed-point units ((s * Q) DIV n —
+    truncating division, matching DuckDB //).  Empty clusters keep the
+    previous centroid.  Returned centroids are in Q-units: consume with
+    _pq_codes_df(scale=Q).
+
+    Step count swept on this corpus (IVF-PQ recall@5 vs exact-in-list,
+    sf0.1 / sf0.001): 0 steps 0.38/0.24, 1 step 0.39/0.36, 2 steps
+    0.45/0.36, then oscillation (3: 0.40, 4: 0.44) — the assignments
+    flip-flop around the quantized means.  _PQ_LLOYD_STEPS = 2 is the
+    sweet spot, strictly above the untrained baseline at both scales.
+
+    Shape per step: the same constant-bounded assignment window as
+    ann_pq_codes, a posexplode to (m, code, dim) rows and one map-side-
+    combinable sum.  Each intermediate codebook (M*K rows, heavy
+    subtree) feeds two consumers (next assignment + empty-cluster
+    coalesce), so it is persisted with an eager fill."""
+    if steps is None:
+        steps = _PQ_LLOYD_STEPS
+    cb = _pq_codebook(emb).select(
+        "m", "code", F.transform("cwv", lambda x: x * _PQ_LLOYD_Q).alias("cwv")
+    )
+    for _ in range(steps):
+        cb = cb.persist()
+        cb.count()
+        assign = _pq_codes_df(emb, cb, scale=_PQ_LLOYD_Q).select(
+            "vec_id", "m", "code"
+        )
+        members = _pq_subspace_explode(emb).join(assign, ["vec_id", "m"])
+        sums = (
+            members.select("m", "code", F.posexplode("sub").alias("d", "v"))
+            .groupBy("m", "code", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        refined = (
+            sums.select(
+                "m",
+                "code",
+                "d",
+                F.expr(f"(s * {_PQ_LLOYD_Q}) DIV n").alias("cv"),
+            )
+            .groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("cwv_r")
+            )
+        )
+        prev = cb.withColumnRenamed("cwv", "cwv_0")
+        cb = prev.join(refined, ["m", "code"], "left").select(
+            "m", "code", F.coalesce("cwv_r", "cwv_0").alias("cwv")
+        )
+    return cb
+
+
+def q_ann_pq_codes_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compression under the one-step-Lloyd codebook: same output
+    shape as ann_pq_codes, distances in _PQ_LLOYD_Q^2 units."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qv")
+    )
+    emb = emb.persist()
+    emb.count()
+    return _pq_codes_df(emb, _pq_codebook_lloyd(emb), scale=_PQ_LLOYD_Q)
+
 
 def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ: route queries to their IVF list (nprobe=1, same coarse
@@ -545,13 +715,33 @@ def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     |Q| x M x K rows, broadcast; candidate codes join it on
     (query_id, m, code); the final top-k window per query is bounded
     by nprobe x _MAX_IVF_LIST.  Exact integer math end to end."""
+    return _ivfpq_search(spark, sf_dir, lloyd=False)
+
+
+def q_ann_ivfpq_search_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the one-step-Lloyd codebook: identical routing and
+    ADC shape, centroids re-centered on their clusters — measurably
+    higher recall than the untrained seed codebook (pinned by
+    tests/test_pq.py)."""
+    return _ivfpq_search(spark, sf_dir, lloyd=True)
+
+
+def _ivfpq_search(spark: SparkSession, sf_dir: str, *, lloyd: bool) -> DataFrame:
     emb = (
         _read(spark, sf_dir, "embeddings")
         .select("vec_id", _quantize(F.col("embedding")).alias("qv"))
         .persist()
     )
     emb.count()
-    codebook = _pq_codebook(emb)
+    scale = _PQ_LLOYD_Q if lloyd else 1
+    if lloyd:
+        # the refined codebook's subtree contains the full seed
+        # assignment pass and feeds TWO consumers (candidate codes +
+        # query LUT) — persist the M*K-row result and fill it eagerly
+        codebook = _pq_codebook_lloyd(emb).persist()
+        codebook.count()
+    else:
+        codebook = _pq_codebook(emb)
 
     centroids = emb.where(F.col("vec_id") % _IVF_CENTROID_MOD == 1).select(
         F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv")
@@ -587,14 +777,24 @@ def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = cands.join(ok_lists, "centroid_id", "left_semi")
 
     codes = _pq_codes_df(
-        emb.where(F.col("vec_id") % _QMOD != 0), codebook
+        emb.where(F.col("vec_id") % _QMOD != 0), codebook, scale=scale
     ).select(F.col("vec_id").alias("neighbor_id"), "m", "code")
 
     qsubs = _pq_subspace_explode(
         emb.where(F.col("vec_id") % _QMOD == 0)
     ).withColumnRenamed("vec_id", "query_id")
+    qsub = (
+        F.col("sub")
+        if scale == 1
+        else F.transform("sub", lambda x: x * scale)
+    )
+    qd2 = F.aggregate(
+        F.zip_with(qsub, F.col("cwv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     lut = qsubs.join(F.broadcast(codebook), "m").select(
-        "query_id", "m", "code", _sq_l2("sub", "cwv").alias("qd2")
+        "query_id", "m", "code", qd2.alias("qd2")
     )
 
     scored = (
@@ -648,6 +848,53 @@ WITH q AS (
          CAST(SUM(l.qd2) AS BIGINT) AS adc_q
   FROM (SELECT query_id, neighbor_id FROM queries JOIN cands USING (centroid_id)) p
   JOIN codes cd ON p.neighbor_id = cd.vec_id
+  JOIN lut l ON l.query_id = p.query_id AND l.m = cd.m AND l.code = cd.code
+  GROUP BY p.query_id, cd.vec_id
+)
+SELECT query_id, rank, neighbor_id, adc_q FROM (
+  SELECT query_id, neighbor_id, adc_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_q ASC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_IVF_TOPK}
+"""
+
+_IVFPQ_LLOYD_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),{_PQ_LLOYD_SQL}, c AS (
+  SELECT vec_id AS centroid_id, qv AS cv FROM q
+  WHERE vec_id % {_IVF_CENTROID_MOD} = 1
+), assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT q.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY CAST(list_dot_product(q.qv, c.cv) AS BIGINT) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn = 1
+), queries AS (
+  SELECT vec_id AS query_id, centroid_id FROM assigned WHERE vec_id % {_QMOD} = 0
+), cands AS (
+  SELECT neighbor_id, centroid_id FROM (
+    SELECT vec_id AS neighbor_id, centroid_id,
+           COUNT(*) OVER (PARTITION BY centroid_id) AS lsz
+    FROM assigned WHERE vec_id % {_QMOD} != 0
+  ) WHERE lsz <= {_MAX_IVF_LIST}
+), lut AS (
+  SELECT s.vec_id AS query_id, s.m, cbq.code,
+         CAST(list_dot_product(s.sub, s.sub)
+              - 2 * list_dot_product(s.sub, cbq.cwv)
+              + list_dot_product(cbq.cwv, cbq.cwv) AS BIGINT) AS qd2
+  FROM subsq s JOIN cbq USING (m)
+  WHERE s.vec_id % {_QMOD} = 0
+), scored AS (
+  SELECT p.query_id, cd.vec_id AS neighbor_id,
+         CAST(SUM(l.qd2) AS BIGINT) AS adc_q
+  FROM (SELECT query_id, neighbor_id FROM queries JOIN cands USING (centroid_id)) p
+  JOIN codes_q cd ON p.neighbor_id = cd.vec_id
   JOIN lut l ON l.query_id = p.query_id AND l.m = cd.m AND l.code = cd.code
   GROUP BY p.query_id, cd.vec_id
 )
@@ -1148,6 +1395,8 @@ EXTRA_QUERIES_EXT = {
     # slot to the wave-7 ops; the ANN family keeps lsh_bucketed + ivf_search)
     "ann_pq_codes": q_ann_pq_codes,  # PQ compression (the IVF-PQ write side)
     "ann_ivfpq_search": q_ann_ivfpq_search,  # IVF route + ADC lookup-table scoring
+    "ann_pq_codes_lloyd": q_ann_pq_codes_lloyd,  # one-step-Lloyd codebook
+    "ann_ivfpq_search_lloyd": q_ann_ivfpq_search_lloyd,  # refined-codebook ADC
 }
 
 EXTRA_ORACLES_EXT = {
@@ -1158,4 +1407,6 @@ EXTRA_ORACLES_EXT = {
     "ann_topk": _ANN_TOPK_SQL,
     "ann_pq_codes": _PQ_CODES_SQL,
     "ann_ivfpq_search": _IVFPQ_SQL,
+    "ann_pq_codes_lloyd": _PQ_CODES_LLOYD_SQL,
+    "ann_ivfpq_search_lloyd": _IVFPQ_LLOYD_SQL,
 }
