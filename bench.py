@@ -15,7 +15,8 @@ Scaling mode (north_rule evidence; no real cluster in sandbox):
   Runs the identical extraction job on the identical synthetic corpus at
   local[4] (=N) and local[16] (=4N), each taskset-pinned to exactly N CPUs
   in its own JVM, reports docs/sec at both and efficiency =
-  T(4N) / (4 * T(N)), and writes BENCH/BASELINE.md.  (8 vs 32 is confounded
+  T(4N) / (4 * T(N)), and writes BENCH/scaling_latest.{md,json} (append
+  the row to the hand-curated BENCH/BASELINE.md).  (8 vs 32 is confounded
   by this host's memory-bandwidth ceiling: pure-Python multiprocessing of
   the same per-doc work only scales 0.75 from 8->32 procs.)
 """
@@ -219,8 +220,15 @@ def run_scaling(n_docs: int, n_small: int = 4, n_large: int = 16) -> dict:
 
 
 def _write_baseline_md(s: dict, n_small: int, n_large: int) -> None:
+    # BENCH/BASELINE.md is the hand-curated multi-round record; earlier
+    # rounds clobbered it from here and re-merged by hand.  Fresh runs
+    # now land in sidecar files (scaling_latest.md + scaling_latest.json)
+    # and a row is appended to BASELINE.md manually.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.json"), "w") as f:
+        json.dump(s, f, indent=1)
+        f.write("\n")
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.md"), "w") as f:
         f.write(
             f"""# BENCH/BASELINE — two-parallelism scaling evidence (north_rule)
 

@@ -7,6 +7,8 @@ funnel as a runnable job:
          exact n-gram Jaccard >= threshold drops the larger doc_id; or,
          with --cluster-reps, keeps one representative per connected
          component of the pair graph)
+      -> optional CCNet-style bigram-LM perplexity gate
+         (--max-mille-bits)
       -> optional ExactSubstr-style block-dup cut over the survivors
          (--max-dup-block-pct)
       -> optional temperature language rebalancing (--lang-rebalance)
@@ -52,6 +54,23 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         "jaccard_min": args.jaccard_min,
         "near_dup_policy": "cluster_reps" if args.cluster_reps else "pair_loser",
     }
+
+    if args.max_mille_bits is not None:
+        # CCNet-style perplexity gate over the survivors: a bigram LM
+        # trained on the survivors' own held-in slice scores every doc;
+        # docs above the bits/bigram budget (or with no bigrams at all)
+        # drop.  Same doc_id-set plumbing as every other stage.
+        from ..plans.driver_queries_quality import lm_perplexity
+
+        surv_docs = docs.join(final, "doc_id", "left_semi")
+        ppl = lm_perplexity(surv_docs)
+        kept = ppl.where(
+            (F.col("n_bigrams") > 0)
+            & (F.col("mille_bits") <= args.max_mille_bits)
+        ).select("doc_id")
+        prev, final = final, final.join(kept, "doc_id", "left_semi").persist()
+        summary["n_after_perplexity"] = final.count()  # also the eager fill
+        prev.unpersist()
 
     if args.max_dup_block_pct is not None:
         # ExactSubstr-style pass over the SURVIVORS (post-dedup, where it
@@ -114,6 +133,15 @@ def parse_args(argv=None) -> argparse.Namespace:
         "component instead of dropping doc_b of every pair — the "
         "group-level dedup policy (connected components over the "
         ">= threshold Jaccard pair graph)",
+    )
+    p.add_argument(
+        "--max-mille-bits",
+        type=int,
+        default=None,
+        help="CCNet-style perplexity stage: drop survivor docs whose "
+        "bigram-LM average exceeds this many mille-bits/bigram "
+        "(LM trained on the survivors' doc_id%%10==1 slice; 5000 "
+        "is the lm_perplexity head-split default)",
     )
     p.add_argument(
         "--max-dup-block-pct",

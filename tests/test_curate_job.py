@@ -246,3 +246,42 @@ def test_export_shards_job_verifies_manifest(spark, tmp_path):
     m2_rows = sorted(map(tuple, spark.read.parquet(man).collect()))
     assert len(m2_rows) == summary2["n_shards_written"]  # no duplicated rows
     assert m2_rows == m_rows
+
+
+def test_curate_perplexity_stage_drops_surprising_doc(spark, tmp_path):
+    """--max-mille-bits: a quality-passing doc whose bigrams are all
+    unseen under the survivors' held-in LM slice pays the flat unseen
+    penalty (20 bits/bigram) and drops; template docs pass."""
+    import random
+
+    rng = random.Random(3)
+    stop = ["the", "and", "of", "to", "in", "is"]
+    base = " ".join(
+        rng.choice(stop) if k % 3 == 0 else f"w{k % 17}" for k in range(60)
+    )
+    rows = []
+    for i in range(20):  # template docs: shared bigram distribution
+        rows.append({"doc_id": i, "text": base + f" tail{i}"})
+    # doc 20: stopwords (passes quality) but a fully alien bigram set
+    rows.append(
+        {"doc_id": 20,
+         "text": " ".join(f"alien{k} the" for k in range(30))}
+    )
+    for r in rows:
+        r.update({"lang": "en", "source": "s", "n_chars": len(r["text"])})
+    path = str(tmp_path / "ppl_docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), path)
+
+    out = str(tmp_path / "ppl_curated")
+    summary = run(
+        parse_args(
+            ["--input", path, "--output", out,
+             "--jaccard-min", "101",  # disable near-dup for isolation
+             "--max-mille-bits", "15000"]
+        ),
+        spark,
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 20 not in kept
+    assert summary["n_after_perplexity"] == len(kept)
+    assert len(kept) >= 15  # the template docs survive the gate

@@ -129,3 +129,31 @@ def test_fused_plan_shape(spark, parity_corpus):
     # the UDF appears once in the plan tree -> its subtree cannot be
     # re-executed by a second consumer
     assert s.count("fused_udf") <= 1 or s.count("pythonUDF") <= 2
+
+
+def test_bpe_encode_corpus_plan_is_shuffle_free(spark):
+    """The distributed BPE encode is ONE per-row projection: its plan
+    must contain no Exchange at all (beyond a possible repartition the
+    _spread guard adds for single-file inputs — at sf0.001 the table is
+    one file, so allow at most that one round-robin repartition and
+    nothing key-based), no Window, no Join."""
+    from coa_ocr_simple_spark.plans.driver_queries_mix import q_bpe_encode_corpus
+
+    df = q_bpe_encode_corpus(spark, "/root/testdata/sf0.001")
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in s and "BroadcastHashJoin" not in s
+    assert "Window" not in s
+    assert "hashpartitioning" not in s  # no key shuffle anywhere
+    assert "ArrowEvalPython" not in s  # fold engine: zero Python
+    assert df.count() == 500
+
+
+def test_lm_perplexity_plan_has_no_windows(spark):
+    """lm_perplexity is aggregates + dimension joins only: any Window
+    would mean an unbounded per-key sort snuck in."""
+    from coa_ocr_simple_spark.plans.driver_queries_quality import q_lm_perplexity
+
+    df = q_lm_perplexity(spark, "/root/testdata/sf0.001")
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in s
+    assert "CartesianProduct" not in s
