@@ -715,38 +715,77 @@ def lm_perplexity(docs: DataFrame) -> DataFrame:
     (dimension-style equi-joins — one build row per key, no fan-out)
     and re-aggregated per doc.  The context counts derive from the pair
     counts (sum over b), so the train slice is exploded exactly once."""
-    from .bpe import _adjacent_pairs
-
-    def bigram_rows(d: DataFrame) -> DataFrame:
-        toks = d.select(
-            "doc_id",
-            F.filter(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                lambda w: w != "",
-            ).alias("t"),
-        )
-        return toks.select(
-            "doc_id", F.explode(_adjacent_pairs(F.col("t"))).alias("p")
-        ).select("doc_id", "p.a", "p.b")
-
     pair_c = (
-        bigram_rows(docs.where(F.col("doc_id") % 10 == _LM_TRAIN_MOD))
+        _bigram_rows(docs.where(F.col("doc_id") % 10 == _LM_TRAIN_MOD))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("c_pair"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pair_c.count()  # eager fill: context derivation + scoring join
     ctx_c = pair_c.groupBy("a").agg(F.sum("c_pair").alias("c_ctx"))
+    return lm_score(docs, pair_c, ctx_c)
 
+
+def _bigram_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, a, b): every adjacent word bigram, training-convention
+    tokenization (lower + trim + whitespace split, empties dropped)."""
+    from .bpe import _adjacent_pairs
+
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda w: w != "",
+        ).alias("t"),
+    )
+    return toks.select(
+        "doc_id", F.explode(_adjacent_pairs(F.col("t"))).alias("p")
+    ).select("doc_id", "p.a", "p.b")
+
+
+def lm_train_counts(ref_docs: DataFrame) -> DataFrame:
+    """One denormalized LM count table (a, b, c_pair, c_ctx) from a
+    reference corpus — the static side a stream-static scorer joins per
+    micro-batch (streaming/perplexity_stream.py), or any caller with a
+    REAL clean reference corpus rather than the registered query\'s
+    doc_id-slice stand-in."""
+    pair_c = (
+        _bigram_rows(ref_docs)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+    )
+    ctx_c = pair_c.groupBy("a").agg(F.sum("c_pair").alias("c_ctx"))
+    return pair_c.join(ctx_c, "a")
+
+
+def lm_score(
+    docs: DataFrame, pair_c: DataFrame, ctx_c: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, n_bigrams, total_bits, mille_bits, is_fluent): the
+    integer bits formula over arbitrary count tables — shared by the
+    batch query and the streaming scorer.  With ``ctx_c=None``,
+    ``pair_c`` must be the denormalized (a, b, c_pair, c_ctx) table
+    (lm_train_counts) and scoring is a SINGLE dimension join per batch:
+    c_ctx is only consumed when the pair matched, so it can ride the
+    pair row — a separate join on ``a`` against the denormalized table
+    would multiply rows (one per b)."""
     bits = F.when(
         F.col("c_pair").isNull(), F.lit(_LM_UNSEEN_BITS)
     ).otherwise(
         F.length(F.bin((F.col("c_ctx") / F.col("c_pair")).cast("long"))) - 1
     )
+    if ctx_c is None:
+        joined = _bigram_rows(docs).join(
+            pair_c.select("a", "b", "c_pair", "c_ctx"), ["a", "b"], "left"
+        )
+    else:
+        joined = (
+            _bigram_rows(docs)
+            .join(pair_c.select("a", "b", "c_pair"), ["a", "b"], "left")
+            .join(ctx_c.select("a", "c_ctx"), ["a"], "left")
+        )
     per_doc = (
-        bigram_rows(docs)
-        .join(pair_c, ["a", "b"], "left")
-        .join(ctx_c, ["a"], "left")
+        joined
         .select("doc_id", bits.alias("bits"))
         .groupBy("doc_id")
         .agg(
