@@ -157,6 +157,15 @@ def bpe_encode(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
 # Arrow-batched Python encoder is the faster AND safer engine
 _FOLD_ENGINE_MAX_MERGES = 64
 
+# Oversized-word gate: the JVM fold's append accumulator copies the
+# output array per element, so one pathological "word" (a base64 blob, a
+# DNA run — no whitespace) costs O(len^2) in a single task: measured
+# 8.5 s at 20k chars -> 32 s at 40k.  Words longer than this cap bypass
+# the merges and emit as ONE opaque token — the HF-style long-word
+# fallback — in BOTH engines and the DuckDB oracle.  Natural-language
+# words never hit it; at 1000 chars the quadratic term is ~20 us/word.
+_MAX_BPE_WORD_CHARS = 1000
+
 
 def encode_tokens_expr(text_col, merges) -> "F.Column":
     """Column expression: the full BPE token sequence of a text — words
@@ -175,7 +184,11 @@ def encode_tokens_expr(text_col, merges) -> "F.Column":
         seq = F.split(w, "")
         for a, b, *_ in merges:
             seq = _merge_fold(seq, a, b)
-        return seq
+        # CASE WHEN short-circuits per element in the JVM, so the fold
+        # genuinely never runs for an oversized word
+        return F.when(
+            F.length(w) <= _MAX_BPE_WORD_CHARS, seq
+        ).otherwise(F.array(w))
 
     return F.flatten(F.transform(words, enc))
 
@@ -199,6 +212,9 @@ def _encode_pandas(merges):
             toks: list[str] = []
             for w in re.split(r"\s+", (t or "").strip().lower()):
                 if not w:
+                    continue
+                if len(w) > _MAX_BPE_WORD_CHARS:
+                    toks.append(w)  # oversized-word gate, both engines
                     continue
                 enc_w = cache.get(w)
                 if enc_w is None:

@@ -419,9 +419,14 @@ def _encode_sql(merges=tuple(_ENCODE_MERGES)) -> str:
     precede it (sel[i] = cand[i] AND NOT sel[i-1] has that closed form;
     runs of consecutive candidates only arise when a == b), and the
     following position is consumed.  One static CTE block per merge."""
-    sql = """
+    from .bpe import _MAX_BPE_WORD_CHARS
+
+    sql = f"""
 WITH w0 AS (
-  SELECT doc_id, i AS widx, regexp_split_to_array(t[i + 1], '') AS seq
+  SELECT doc_id, i AS widx,
+         CASE WHEN length(t[i + 1]) <= {_MAX_BPE_WORD_CHARS}
+              THEN regexp_split_to_array(t[i + 1], '')
+              ELSE [t[i + 1]] END AS seq
   FROM (SELECT doc_id,
                list_filter(regexp_split_to_array(lower(TRIM(text)), '\\s+'),
                            x -> x != '') AS t

@@ -259,3 +259,28 @@ def test_train_bpe_job_encode_output(spark, tmp_path):
     for r in enc:
         want = _ref_encode_doc("seed seed seeding grows", merges)
         assert list(r["tokens"]) == want and r["n_tokens"] == len(want)
+
+
+def test_encode_corpus_oversized_word_gate(spark):
+    """The fold's append accumulator is O(len^2) per WORD — a single
+    pathological no-whitespace blob (base64, DNA) would hang one task.
+    Words past _MAX_BPE_WORD_CHARS bypass the merges and emit as one
+    opaque token, in BOTH engines (and the DuckDB oracle mirrors it)."""
+    from coa_ocr_simple_spark.plans import bpe
+
+    cap = bpe._MAX_BPE_WORD_CHARS
+    blob = "ab" * (40_000 // 2)
+    docs = _docs_df(
+        spark, [f"intro {blob} outro", "ab" * (cap // 2 - 1) + " tail"]
+    )
+    merges = [("a", "b", 9), ("ab", "a", 5)]
+    for engine in ("fold", "pandas"):
+        got = {
+            r["doc_id"]: list(r["tokens"])
+            for r in bpe.encode_corpus(docs, merges, engine=engine).collect()
+        }
+        # normal words encode as usual (no merges apply -> chars);
+        # the blob is gated and emits as ONE opaque token
+        assert got[0] == list("intro") + [blob] + list("outro"), engine
+        # the just-under-cap word IS merged (gate boundary is exclusive)
+        assert got[1] == ["ab"] * (cap // 2 - 1) + list("tail"), engine
