@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .driver_queries import _docs
-from .driver_queries_quality import _md5_prefix_sql, _md5_prefix_val
+from .driver_queries_quality import _HEXS, _md5_prefix_sql, _md5_prefix_val
 
 # --- ExactSubstr-style token-block dedup --------------------------------------------------
 
@@ -327,6 +327,217 @@ def write_sharded(
     )
 
 
+# --- ExactSubstr proper: sliding-window duplicated-SPAN detection -------------------------
+
+_SPAN_W = 50  # window tokens — the production ExactSubstr length (Lee et al. 2022)
+_SPAN_M = 2147483647  # 2^31 - 1: per-plane rolling-hash modulus (long-safe products)
+_SPAN_B1 = 1000003  # plane bases (distinct primes); two 31-bit planes
+_SPAN_B2 = 999983  #   combined into one 62-bit key: collision ~ n^2 / 2^62
+
+
+def _hex_int_val(h, start: int, nd: int):
+    """Integer value of nd hex digits of an md5 string starting at
+    1-based `start` — the _md5_prefix_val recipe widened to long."""
+    v = F.lit(0).cast("long")
+    for i in range(nd):
+        v = v * 16 + (F.instr(F.lit(_HEXS), F.substring(h, start + i, 1)) - 1)
+    return v
+
+
+def _span_window_occurrences(docs: DataFrame, w: int) -> DataFrame:
+    """(doc_id, pos, wh): a rolling polynomial hash of EVERY w-token
+    window (stride 1), the suffix-array-free ExactSubstr occurrence
+    surface.  vs block_occurrences (stride-w blocks, md5 strings): the
+    shuffle key is ONE long per token position instead of a 32-char
+    md5 per w tokens, and the per-window hash is w integer mul-adds,
+    not a string concat + md5 — the stride-1 blow-up stays affordable.
+
+    Shape notes (all measured hazards, see block_occurrences): the
+    token array is split ONCE with >= 2 lexical references per
+    projection hop (CollapseProject inlines single-reference columns
+    into HOF lambdas — the O(len^2) re-tokenize bug); the explode is
+    over the cheap INDEX sequence so InferFiltersFromGenerate's
+    `size(ix) > 0` stays O(1); the code arrays ride the Generate as
+    bound attributes and each window slices w codes (O(w), F.slice is
+    positional-O(1) on the array, unlike substr on a string).
+    """
+    p0 = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    # t referenced 2x (size + transform) -> the split is materialized here
+    p1 = p0.select(
+        "doc_id",
+        F.size("t").alias("n"),
+        F.transform("t", lambda tok: F.md5(tok)).alias("hs"),
+    )
+    # hs referenced 2x -> the md5 array is materialized here
+    p2 = p1.select(
+        "doc_id",
+        "n",
+        F.transform("hs", lambda h: _hex_int_val(h, 1, 8) % _SPAN_M).alias("c1"),
+        F.transform("hs", lambda h: _hex_int_val(h, 9, 8) % _SPAN_M).alias("c2"),
+    )
+    ix = F.when(F.col("n") >= w, F.sequence(F.lit(0), F.col("n") - w)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ex = p2.select("doc_id", "c1", "c2", ix.alias("ix")).select(
+        "doc_id", "c1", "c2", F.explode("ix").alias("pos")
+    )
+
+    def _roll(codes: str, base: int):
+        # STATICALLY UNROLLED fold of w F.get terms — NOT
+        # aggregate(slice(...)): HOFs are CodegenFallback, and the
+        # interpreted Slice walks the WHOLE code array per window,
+        # turning the stage O(len^2) per doc (measured: 4x16k-token
+        # docs 35 s; the unrolled-get form 0.6 s).  get/%/* are all
+        # codegen expressions, so the Generate + this projection fuse
+        # into one whole-stage-codegen loop and the arrays are read
+        # in place, never copied.  Value identical to the fold the
+        # DuckDB oracle runs (zero-init == first-element seed: every
+        # code is already < M).
+        # FLAT sum, not a 50-deep Horner nest: the analyzer resolves a
+        # serially-nested unresolved-function chain one level per
+        # iteration and a w=50 nest blows the 100-iteration Resolution
+        # cap; 50 independent depth-3 terms resolve in one pass.
+        # Equal to the oracle's Horner fold: sum_j c[pos+j]*B^(w-1-j)
+        # (mod M), with the coefficients precomputed via Python pow.
+        # Long-safe: each term < M = 2^31, the 50-term sum < 2^37.
+        terms = [
+            (
+                F.element_at(F.col(codes), F.col("pos") + j + 1)
+                * pow(base, w - 1 - j, _SPAN_M)
+            )
+            % _SPAN_M
+            for j in range(w)
+        ]
+        v = terms[0]
+        for t in terms[1:]:
+            v = v + t
+        return v % _SPAN_M
+
+    wh = _roll("c1", _SPAN_B1) * F.lit(2147483648).cast("long") + _roll(
+        "c2", _SPAN_B2
+    )
+    return ex.select("doc_id", "pos", wh.alias("wh"))
+
+
+def exact_substr_spans(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
+    """ExactSubstr proper (Lee et al. 2022 §4.1, suffix-array-free):
+    per doc, the MAXIMAL token spans covered by w-token substrings that
+    occur elsewhere in the corpus, keep-first semantics.  Output one
+    row per doc with >= 1 such span: (doc_id, n_spans, dup_tokens,
+    max_span_tokens).
+
+    block_dedup_stats' stride-w blocks miss any duplicated region not
+    aligned to a block boundary (a pasted paragraph starting at token
+    7 of a block contributes nothing); the stride-1 windows here catch
+    every duplicated region of >= w tokens at any offset, and the
+    island merge turns overlapping duplicated windows into the exact
+    maximal spans an ExactSubstr cut pass would remove.
+
+    Scale: one hash aggregation on the 62-bit window key (map-side
+    combine) + equi-join back — the block_dedup shape at stride-1 cost
+    (shuffle carries ~8 bytes/token).  The span merge is a per-doc
+    window over this doc's DUPLICATED positions only — bounded by doc
+    length, like the tfidf per-doc top-k (inherently bounded family).
+    """
+    occ = _span_window_occurrences(docs, w).persist(StorageLevel.MEMORY_AND_DISK)
+    occ.count()  # eager fill: two independent consumers below
+
+    firsts = occ.groupBy("wh").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("doc_id", "pos")).alias("fo"),
+    )
+    is_first = (F.col("fo.doc_id") == F.col("doc_id")) & (
+        F.col("fo.pos") == F.col("pos")
+    )
+    dup = (
+        occ.join(firsts, "wh")
+        .where((F.col("n_occ") > 1) & ~is_first)
+        .select("doc_id", "pos")
+    )
+
+    from pyspark.sql.window import Window
+
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(wspec)
+    # windows at q and pos overlap-or-touch iff pos - q <= w
+    ns = F.when(prev.isNull() | (F.col("pos") - prev > w), 1).otherwise(0)
+    sp = dup.select("doc_id", "pos", ns.alias("ns")).select(
+        "doc_id", "pos", F.sum("ns").over(wspec).alias("span_id")
+    )
+    spans = sp.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("s"), (F.max("pos") + w).alias("e")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s")).cast("long").alias("max_span_tokens"),
+    )
+
+
+def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_substr_spans(_docs(spark, sf_dir))
+
+
+def _hex_int_sql(expr: str, start: int, nd: int) -> str:
+    terms = [
+        f"CAST(instr('{_HEXS}', substring({expr}, {start + i}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (nd - 1 - i)}"
+        for i in range(nd)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _span_sql(w: int = _SPAN_W) -> str:
+    c1 = f"{_hex_int_sql('md5(tok)', 1, 8)} % {_SPAN_M}"
+    c2 = f"{_hex_int_sql('md5(tok)', 9, 8)} % {_SPAN_M}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(TRIM(text)), '\\s+') AS t
+  FROM documents
+), codes AS (
+  SELECT doc_id, len(t) AS n,
+         list_transform(t, tok -> {c1}) AS c1,
+         list_transform(t, tok -> {c2}) AS c2
+  FROM toks
+), occ AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         list_reduce(c1[CAST(i + 1 AS BIGINT):CAST(i + {w} AS BIGINT)],
+                     (a, x) -> (a * {_SPAN_B1} + x) % {_SPAN_M}) * 2147483648
+       + list_reduce(c2[CAST(i + 1 AS BIGINT):CAST(i + {w} AS BIGINT)],
+                     (a, x) -> (a * {_SPAN_B2} + x) % {_SPAN_M}) AS wh
+  FROM codes, unnest(range(0, CAST(n - {w} + 1 AS BIGINT))) AS r(i)
+  WHERE n >= {w}
+), firsts AS (
+  SELECT wh, COUNT(*) AS n_occ, MIN(ROW(doc_id, pos)) AS fo
+  FROM occ GROUP BY wh
+), dup AS (
+  SELECT o.doc_id, o.pos
+  FROM occ o JOIN firsts f USING (wh)
+  WHERE f.n_occ > 1 AND ROW(o.doc_id, o.pos) <> f.fo
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN LAG(pos) OVER w_doc IS NULL
+                   OR pos - LAG(pos) OVER w_doc > {w}
+              THEN 1 ELSE 0 END AS ns
+  FROM dup WINDOW w_doc AS (PARTITION BY doc_id ORDER BY pos)
+), sp AS (
+  SELECT doc_id, pos,
+         SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM isl
+), spans AS (
+  SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {w} AS e
+  FROM sp GROUP BY doc_id, span_id
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
+       CAST(MAX(e - s) AS BIGINT) AS max_span_tokens
+FROM spans GROUP BY doc_id
+"""
+
+
 QUERIES_MIX = {
     "block_dedup_stats": q_block_dedup_stats,
     "lang_mixture_sample": q_lang_mixture_sample,
@@ -482,10 +693,12 @@ EXTRA_QUERIES_MIX = {
     "lang_mixture_sample_a75": q_lang_mixture_sample_a75,  # temperature knob
     "bpe_pair_counts": q_bpe_pair_counts,  # BPE round-1 argmax surface
     "bpe_encode_corpus": q_bpe_encode_corpus,  # merge-list application
+    "exact_substr_spans": q_exact_substr_spans,  # stride-1 ExactSubstr spans
 }
 EXTRA_ORACLES_MIX = {
     "shard_manifest": _manifest_sql(),
     "lang_mixture_sample_a75": _mixture_sql(0.75),
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "bpe_encode_corpus": _encode_sql(),
+    "exact_substr_spans": _span_sql(),
 }
