@@ -105,6 +105,34 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         prev.unpersist()
 
     curated = docs.join(final, "doc_id", "left_semi")
+
+    if args.cut_dup_spans:
+        # ExactSubstr CUT pass (Lee et al. 2022): the only stage that
+        # REWRITES payload — survivors' text loses every
+        # corpus-duplicated >= w-token span (keep-first), fully-cut
+        # docs drop, n_chars is refreshed to match the cleaned text.
+        # Whitespace runs inside surviving text are normalized to
+        # single spaces (the span family's tokenization contract).
+        from ..plans.driver_queries_mix import exact_substr_cut
+
+        cut = exact_substr_cut(curated, w=args.cut_span_w)
+        stats = cut.agg(
+            F.sum("n_cut").alias("tok_cut"),
+            F.sum((F.col("n_kept") == 0).cast("long")).alias("full"),
+        ).collect()[0]
+        summary["n_tokens_cut"] = int(stats["tok_cut"] or 0)
+        summary["n_fully_cut_docs"] = int(stats["full"] or 0)
+        curated = (
+            curated.drop("text", "n_chars")
+            .join(cut.where(F.col("n_kept") > 0), "doc_id")
+            .withColumn("n_chars", F.length("text_clean").cast("long"))
+            .withColumnRenamed("text_clean", "text")
+            .select(*docs.columns)
+        )
+        summary["n_after_span_cut"] = (
+            final.count() - summary["n_fully_cut_docs"]
+        )
+
     io.append(curated, args.output)
     summary["n_curated"] = final.count()
     if args.report:
@@ -150,6 +178,20 @@ def parse_args(argv=None) -> argparse.Namespace:
         help="ExactSubstr-style stage: drop survivor docs whose "
         "duplicated-(20-token-)block fraction exceeds this percent "
         "(canonical first occurrences don't count against a doc)",
+    )
+    p.add_argument(
+        "--cut-dup-spans",
+        action="store_true",
+        help="ExactSubstr CUT pass on the shipped text: remove every "
+        "corpus-duplicated >= w-token span from survivor docs "
+        "(keep-first; fully-cut docs drop; the one stage that "
+        "rewrites payload, whitespace-normalized)",
+    )
+    p.add_argument(
+        "--cut-span-w",
+        type=int,
+        default=50,
+        help="window length (tokens) for --cut-dup-spans",
     )
     p.add_argument(
         "--lang-rebalance",

@@ -421,26 +421,12 @@ def _span_window_occurrences(docs: DataFrame, w: int) -> DataFrame:
     return ex.select("doc_id", "pos", wh.alias("wh"))
 
 
-def exact_substr_spans(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
-    """ExactSubstr proper (Lee et al. 2022 §4.1, suffix-array-free):
-    per doc, the MAXIMAL token spans covered by w-token substrings that
-    occur elsewhere in the corpus, keep-first semantics.  Output one
-    row per doc with >= 1 such span: (doc_id, n_spans, dup_tokens,
-    max_span_tokens).
-
-    block_dedup_stats' stride-w blocks miss any duplicated region not
-    aligned to a block boundary (a pasted paragraph starting at token
-    7 of a block contributes nothing); the stride-1 windows here catch
-    every duplicated region of >= w tokens at any offset, and the
-    island merge turns overlapping duplicated windows into the exact
-    maximal spans an ExactSubstr cut pass would remove.
-
-    Scale: one hash aggregation on the 62-bit window key (map-side
-    combine) + equi-join back — the block_dedup shape at stride-1 cost
-    (shuffle carries ~8 bytes/token).  The span merge is a per-doc
-    window over this doc's DUPLICATED positions only — bounded by doc
-    length, like the tfidf per-doc top-k (inherently bounded family).
-    """
+def _dup_spans(docs: DataFrame, w: int) -> DataFrame:
+    """(doc_id, s, e): the per-doc MAXIMAL duplicated token spans
+    [s, e), keep-first — overlapping/touching duplicated w-windows
+    merged into islands.  Spans of one doc are pairwise disjoint with
+    >= 1 keeper token between them (two windows merge exactly when
+    their token ranges overlap or touch, i.e. pos gap <= w)."""
     occ = _span_window_occurrences(docs, w).persist(StorageLevel.MEMORY_AND_DISK)
     occ.count()  # eager fill: two independent consumers below
 
@@ -466,10 +452,32 @@ def exact_substr_spans(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
     sp = dup.select("doc_id", "pos", ns.alias("ns")).select(
         "doc_id", "pos", F.sum("ns").over(wspec).alias("span_id")
     )
-    spans = sp.groupBy("doc_id", "span_id").agg(
+    return sp.groupBy("doc_id", "span_id").agg(
         F.min("pos").alias("s"), (F.max("pos") + w).alias("e")
-    )
-    return spans.groupBy("doc_id").agg(
+    ).select("doc_id", "s", "e")
+
+
+def exact_substr_spans(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
+    """ExactSubstr proper (Lee et al. 2022 §4.1, suffix-array-free):
+    per doc, the MAXIMAL token spans covered by w-token substrings that
+    occur elsewhere in the corpus, keep-first semantics.  Output one
+    row per doc with >= 1 such span: (doc_id, n_spans, dup_tokens,
+    max_span_tokens).
+
+    block_dedup_stats' stride-w blocks miss any duplicated region not
+    aligned to a block boundary (a pasted paragraph starting at token
+    7 of a block contributes nothing); the stride-1 windows here catch
+    every duplicated region of >= w tokens at any offset, and the
+    island merge turns overlapping duplicated windows into the exact
+    maximal spans an ExactSubstr cut pass would remove.
+
+    Scale: one hash aggregation on the 62-bit window key (map-side
+    combine) + equi-join back — the block_dedup shape at stride-1 cost
+    (shuffle carries ~8 bytes/token).  The span merge is a per-doc
+    window over this doc's DUPLICATED positions only — bounded by doc
+    length, like the tfidf per-doc top-k (inherently bounded family).
+    """
+    return _dup_spans(docs, w).groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
         F.max(F.col("e") - F.col("s")).cast("long").alias("max_span_tokens"),
@@ -478,6 +486,74 @@ def exact_substr_spans(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
 
 def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substr_spans(_docs(spark, sf_dir))
+
+
+def exact_substr_cut(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
+    """The ExactSubstr CUT pass (Lee et al. 2022 §4.1): rewrite each
+    doc's text with every corpus-duplicated span (see _dup_spans)
+    removed, keep-first — the first corpus occurrence of a region
+    keeps its copy; all later copies are cut.  Output one row per doc:
+    (doc_id, text_clean, n_kept, n_cut) where text_clean is the KEPT
+    original-case tokens joined by single spaces (whitespace runs are
+    normalized — the tokenization contract of the whole span family)
+    and n_kept + n_cut = the doc's token count.
+
+    Reconstruction is LINEAR per doc: the spans of a doc are disjoint
+    and sorted, so the kept text is the concatenation of the m+1 gaps
+    between/around m spans, each lifted out with one O(gap) F.slice —
+    never a per-token `exists(spans, ...)` containment probe, which
+    is O(n_tokens * n_spans) and superlinear on span-dense docs.
+    Docs with no duplicated span pass through (left join, empty gap
+    list degenerates to one full-width slice).
+    """
+    spans = _dup_spans(docs, w)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("sp")
+    )
+    # original-case tokens; positions align with the lowercased hash
+    # tokens because lowering never changes \s+ boundaries
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    j = toks.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "t",
+        F.coalesce(
+            "sp", F.array().cast("array<struct<s:int,e:int>>")
+        ).alias("sp"),
+    )
+
+    m = F.size("sp")
+    n = F.size("t")
+    # gap i covers [prev span's e (or 0), next span's s (or n)); the
+    # first/last gap may be empty (slice with length 0 -> []), interior
+    # gaps never are (islands merged any touching spans)
+    gaps = F.transform(
+        F.sequence(F.lit(0), m),
+        lambda i: F.struct(
+            F.when(i == 0, F.lit(0))
+            .otherwise(F.get(F.col("sp"), i - 1)["e"])
+            .alias("gs"),
+            F.when(i == m, n).otherwise(F.get(F.col("sp"), i)["s"]).alias("ge"),
+        ),
+    )
+    kept = F.flatten(
+        F.transform(gaps, lambda g: F.slice("t", g["gs"] + 1, g["ge"] - g["gs"]))
+    )
+    # t: 2 lexical refs (n + kept) so CollapseProject cannot inline the
+    # split into the HOF lambdas (the measured re-tokenize-per-element
+    # hazard); kept: materialized here, 3 refs downstream
+    k = j.select("doc_id", n.alias("n"), kept.alias("kept"))
+    return k.select(
+        "doc_id",
+        F.concat_ws(" ", "kept").alias("text_clean"),
+        F.size("kept").cast("long").alias("n_kept"),
+        (F.col("n") - F.size("kept")).cast("long").alias("n_cut"),
+    )
+
+
+def q_exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_substr_cut(_docs(spark, sf_dir))
 
 
 def _hex_int_sql(expr: str, start: int, nd: int) -> str:
@@ -489,17 +565,23 @@ def _hex_int_sql(expr: str, start: int, nd: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _span_sql(w: int = _SPAN_W) -> str:
+def _span_ctes(w: int) -> str:
+    """The shared CTE chain `toks .. spans` — per-doc maximal
+    duplicated spans [s, e), the SQL mirror of _dup_spans.  toks
+    carries BOTH the original-case array `t` (the cut pass slices it)
+    and the lowered `tl` the window hashes are computed from."""
     c1 = f"{_hex_int_sql('md5(tok)', 1, 8)} % {_SPAN_M}"
     c2 = f"{_hex_int_sql('md5(tok)', 9, 8)} % {_SPAN_M}"
     return f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(lower(TRIM(text)), '\\s+') AS t
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(text), '\\s+') AS t,
+         regexp_split_to_array(lower(TRIM(text)), '\\s+') AS tl
   FROM documents
 ), codes AS (
-  SELECT doc_id, len(t) AS n,
-         list_transform(t, tok -> {c1}) AS c1,
-         list_transform(t, tok -> {c2}) AS c2
+  SELECT doc_id, len(tl) AS n,
+         list_transform(tl, tok -> {c1}) AS c1,
+         list_transform(tl, tok -> {c2}) AS c2
   FROM toks
 ), occ AS (
   SELECT doc_id, CAST(i AS INTEGER) AS pos,
@@ -529,13 +611,49 @@ WITH toks AS (
 ), spans AS (
   SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {w} AS e
   FROM sp GROUP BY doc_id, span_id
-)
+)"""
+
+
+def _span_sql(w: int = _SPAN_W) -> str:
+    return (
+        _span_ctes(w)
+        + """
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_spans,
        CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
        CAST(MAX(e - s) AS BIGINT) AS max_span_tokens
 FROM spans GROUP BY doc_id
 """
+    )
+
+
+def _cut_sql(w: int = _SPAN_W) -> str:
+    # DuckDB reconstructs per-position (NOT EXISTS containment probe —
+    # fine at oracle scale; the Spark plan uses the linear gap-slice
+    # form instead) and must LEFT JOIN back from toks so fully-cut and
+    # untouched docs both still emit a row.
+    return (
+        _span_ctes(w)
+        + """, posz AS (
+  SELECT t.doc_id, CAST(i AS INTEGER) AS pos, t.t[CAST(i + 1 AS BIGINT)] AS tok
+  FROM toks t, unnest(range(0, CAST(len(t.t) AS BIGINT))) AS r(i)
+), agg AS (
+  SELECT p.doc_id,
+         string_agg(p.tok, ' ' ORDER BY p.pos) AS text_clean,
+         COUNT(*) AS n_kept
+  FROM posz p
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = p.doc_id
+                      AND p.pos >= s.s AND p.pos < s.e)
+  GROUP BY p.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(a.text_clean, '') AS text_clean,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_cut
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+    )
 
 
 QUERIES_MIX = {
@@ -694,6 +812,7 @@ EXTRA_QUERIES_MIX = {
     "bpe_pair_counts": q_bpe_pair_counts,  # BPE round-1 argmax surface
     "bpe_encode_corpus": q_bpe_encode_corpus,  # merge-list application
     "exact_substr_spans": q_exact_substr_spans,  # stride-1 ExactSubstr spans
+    "exact_substr_cut": q_exact_substr_cut,  # the span CUT pass (cleaned text)
 }
 EXTRA_ORACLES_MIX = {
     "shard_manifest": _manifest_sql(),
@@ -701,4 +820,5 @@ EXTRA_ORACLES_MIX = {
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "bpe_encode_corpus": _encode_sql(),
     "exact_substr_spans": _span_sql(),
+    "exact_substr_cut": _cut_sql(),
 }

@@ -285,3 +285,55 @@ def test_curate_perplexity_stage_drops_surprising_doc(spark, tmp_path):
     assert 20 not in kept
     assert summary["n_after_perplexity"] == len(kept)
     assert len(kept) >= 15  # the template docs survive the gate
+
+
+def test_curate_cut_dup_spans_rewrites_payload(spark, tmp_path):
+    """--cut-dup-spans: survivors' text loses corpus-duplicated spans
+    (keep-first), fully-cut docs drop, n_chars tracks the new text."""
+    import random
+
+    rng = random.Random(11)
+    stop = ["the", "and", "of", "to", "in", "is"]
+
+    def qdoc(seed, n=60):
+        r = random.Random(seed)
+        return [
+            r.choice(stop) if k % 3 == 0 else f"w{seed}_{k}" for k in range(n)
+        ]
+
+    d0 = qdoc(0)
+    d1 = qdoc(1)
+    paste = d0[10:26]  # 16 tokens of doc0 pasted mid-doc1
+    d1 = d1[:30] + paste + d1[30:]
+    d2 = d0 + d0  # doubled doc0 -> fully cut at w=10 (seam windows merge)
+    rows = [
+        {"doc_id": 0, "text": " ".join(d0)},
+        {"doc_id": 1, "text": " ".join(d1)},
+        {"doc_id": 2, "text": " ".join(d2)},
+    ]
+    for r in rows:
+        r.update({"lang": "en", "source": "s", "n_chars": len(r["text"])})
+    path = str(tmp_path / "cut_docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), path)
+
+    out = str(tmp_path / "cut_curated")
+    summary = run(
+        parse_args(
+            ["--input", path, "--output", out,
+             "--jaccard-min", "101",  # isolate the cut stage
+             "--cut-dup-spans", "--cut-span-w", "10"]
+        ),
+        spark,
+    )
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {0, 1}  # doc2 fully cut -> dropped
+    assert summary["n_fully_cut_docs"] == 1
+    assert summary["n_after_span_cut"] == 2
+    # doc0 is the corpus-wide first occurrence: untouched
+    assert got[0]["text"].split() == d0
+    # doc1 lost exactly the pasted segment (and nothing else)
+    assert got[1]["text"].split() == qdoc(1)
+    assert summary["n_tokens_cut"] == len(paste) + len(d2)
+    # n_chars refreshed to the cleaned text
+    for d in (0, 1):
+        assert got[d]["n_chars"] == len(got[d]["text"])

@@ -17,6 +17,7 @@ from coa_ocr_simple_spark.plans.driver_queries_mix import (
     _SPAN_B1,
     _SPAN_B2,
     _SPAN_M,
+    exact_substr_cut,
     exact_substr_spans,
 )
 
@@ -64,6 +65,48 @@ def _ref_spans(texts: list[str], w: int) -> dict[int, tuple[int, int, int]]:
         lens = [e + w - s for s, e in spans]
         out[d] = (len(spans), sum(lens), max(lens))
     return out
+
+
+def _ref_cut(texts: list[str], w: int) -> dict[int, tuple[str, int, int]]:
+    """Independent cut reference: {doc_id: (text_clean, n_kept, n_cut)}.
+    Re-derives dup positions like _ref_spans, then drops every token
+    covered by any duplicated window [p, p+w)."""
+
+    def codes(tok: str) -> tuple[int, int]:
+        h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+        return int(h[0:8], 16) % _SPAN_M, int(h[8:16], 16) % _SPAN_M
+
+    toks_by_doc = [re.split(r"\s+", t.strip()) for t in texts]
+    occ: dict[int, list[tuple[int, int]]] = {}
+    for d, toks in enumerate(toks_by_doc):
+        cs = [codes(t.lower()) for t in toks]
+        for i in range(len(toks) - w + 1):
+            v1 = v2 = 0
+            for c1, c2 in cs[i : i + w]:
+                v1 = (v1 * _SPAN_B1 + c1) % _SPAN_M
+                v2 = (v2 * _SPAN_B2 + c2) % _SPAN_M
+            occ.setdefault(v1 * 2**31 + v2, []).append((d, i))
+
+    cut: dict[int, set[int]] = {d: set() for d in range(len(texts))}
+    for positions in occ.values():
+        if len(positions) > 1:
+            first = min(positions)
+            for d, i in positions:
+                if (d, i) != first:
+                    cut[d].update(range(i, i + w))
+
+    out = {}
+    for d, toks in enumerate(toks_by_doc):
+        kept = [t for i, t in enumerate(toks) if i not in cut[d]]
+        out[d] = (" ".join(kept), len(kept), len(toks) - len(kept))
+    return out
+
+
+def _collect_cut(df) -> dict[int, tuple[str, int, int]]:
+    return {
+        r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_cut"])
+        for r in df.collect()
+    }
 
 
 def _collect(df) -> dict[int, tuple[int, int, int]]:
@@ -135,6 +178,69 @@ def test_span_merge_boundary_gap_exactly_w_merges(spark):
 def test_short_docs_and_no_dup_corpus(spark):
     texts = ["a b c", " ".join(f"q{j}" for j in range(30))]
     assert _collect(exact_substr_spans(_docs_df(spark, texts), w=5)) == {}
+
+
+def test_cut_matches_independent_reference_fuzz(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        vocab = [f"W{j}" if j % 3 else f"w{j}" for j in range(30)]  # mixed case
+        texts = []
+        for _ in range(7):
+            toks = [rng.choice(vocab) for _ in range(rng.randrange(3, 50))]
+            texts.append(" ".join(toks))
+        seg = [rng.choice(vocab) for _ in range(11)]
+        for d in (0, 3, 5):
+            t = texts[d].split()
+            k = rng.randrange(0, max(1, len(t) - 1))
+            texts[d] = " ".join(t[:k] + seg + t[k:])
+        want = _ref_cut(texts, 5)
+        got = _collect_cut(exact_substr_cut(_docs_df(spark, texts), w=5))
+        assert got == want, f"trial {trial}"
+
+
+def test_cut_keeps_first_copy_and_fully_cuts_pure_paste(spark):
+    base = [f"u{j}" for j in range(10)]
+    texts = [
+        " ".join(base),  # doc0: canonical — untouched
+        " ".join(base),  # doc1: verbatim repost — fully cut
+        "x1 x2 " + " ".join(base) + " x3",  # doc2: paste mid-doc
+    ]
+    got = _collect_cut(exact_substr_cut(_docs_df(spark, texts), w=5))
+    assert got == _ref_cut(texts, 5)
+    assert got[0] == (" ".join(base), 10, 0)
+    assert got[1] == ("", 0, 10)  # empty-string row still present
+    assert got[2] == ("x1 x2 x3", 3, 10)
+
+
+def test_cut_preserves_case_while_matching_case_insensitively(spark):
+    base = ["Alpha", "BETA", "gamma", "Delta", "ePsIlOn"]
+    texts = [
+        " ".join(base) + " tail0",
+        " ".join(t.lower() for t in base) + " Tail1 more2",  # dup only via lower()
+    ]
+    got = _collect_cut(exact_substr_cut(_docs_df(spark, texts), w=5))
+    assert got == _ref_cut(texts, 5)
+    # doc1's lowercased copy was detected (case-insensitive hash) but
+    # the SURVIVING tokens keep their original case
+    assert got[1] == ("Tail1 more2", 2, 5)
+    assert got[0][2] == 0
+
+
+def test_cut_every_doc_gets_a_row_and_counts_tile(spark):
+    rng = random.Random(3)
+    vocab = [f"t{j}" for j in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 40)))
+        for _ in range(12)
+    ]
+    df = exact_substr_cut(_docs_df(spark, texts), w=4)
+    got = _collect_cut(df)
+    assert set(got) == set(range(len(texts)))  # no doc dropped
+    for d, (clean, n_kept, n_cut) in got.items():
+        n = len(texts[d].split())
+        assert n_kept + n_cut == n
+        assert len(clean.split()) == (n_kept if n_kept else 0)
+    assert got == _ref_cut(texts, 4)
 
 
 def test_default_w_is_fifty(spark):
