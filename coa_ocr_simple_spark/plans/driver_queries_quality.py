@@ -154,6 +154,192 @@ FROM linestats l LEFT JOIN bgstats s USING (doc_id)
 """
 
 
+# --- full Gopher quality-signal suite -----------------------------------------------------
+
+# Rae et al. 2021 (Gopher), Appendix A1.1 document filters not already
+# covered by repetition_stats (which owns dup-line % and top-bigram %):
+#   mean word length outside [3, 10]          -> filter
+#   symbol-to-word ratio (#, ...) > 0.1       -> filter
+#   > 90 % of lines start with a bullet       -> filter
+#   > 30 % of lines end with an ellipsis      -> filter
+#   < 80 % of words contain an alphabetic char-> filter
+# plus the duplicate-line CHARACTER fraction (the char-weighted sibling
+# of repetition_stats' dup_line_pct).  All signals are exact integers
+# (permille/percent) so the DuckDB oracle hash-matches bit-for-bit.
+_GQ_MWL_MIN_MILLI = 3000
+_GQ_MWL_MAX_MILLI = 10000
+_GQ_SYM_MAX_PERMILLE = 100
+_GQ_BULLET_MAX_PCT = 90
+_GQ_ELLIPSIS_MAX_PCT = 30
+_GQ_ALPHA_MIN_PCT = 80
+
+
+def gopher_quality_signals(docs: DataFrame) -> DataFrame:
+    """Per-doc Gopher quality signals + composite verdict.
+
+    Shape: line signals ride ONE explode -> (doc_id, line) count agg ->
+    per-doc agg (constant memory per task, the repetition_stats shape);
+    word signals are a pure per-row JVM projection (no explode — word
+    counts come from length arithmetic, the only HOF is the linear
+    alpha-word filter).  One doc_id join stitches them; every division
+    is guarded and floored so the oracle is exact.
+    """
+    ln = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(F.split(F.col("text"), "\n"), lambda l: F.trim(l)),
+                lambda l: l != "",
+            )
+        ).alias("l"),
+    )
+    per_line = ln.groupBy("doc_id", "l").agg(F.count(F.lit(1)).alias("c"))
+    is_ell = (
+        F.col("l").endswith("...") | F.col("l").endswith("…")
+    ).cast("long")
+    is_bul = F.substring("l", 1, 1).isin("-", "*", "•").cast("long")
+    line_stats = per_line.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_lines"),
+        F.sum(F.col("c") * F.length("l")).cast("long").alias("line_chars"),
+        F.sum((F.col("c") - 1) * F.length("l")).cast("long").alias("dup_chars"),
+        F.sum(F.col("c") * is_ell).cast("long").alias("ell"),
+        F.sum(F.col("c") * is_bul).cast("long").alias("bul"),
+    )
+
+    # '...' occurrences are counted non-overlapping left-to-right by
+    # replace() in BOTH engines; the length deltas are exact multiples
+    sym = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
+        + F.floor(
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+            )
+            / 3
+        )
+        + (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("…"), F.lit("")))
+        )
+    )
+    # t: 2 lexical refs (size + alpha filter) -> the split materializes
+    # here instead of being re-inlined per lambda element
+    words = docs.select(
+        "doc_id",
+        F.col("text"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("t"),
+    ).select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_words"),
+        F.length(F.regexp_replace("text", r"\s+", "")).cast("long").alias("nonws"),
+        F.size(F.filter("t", lambda w: w.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("n_alpha"),
+        sym.cast("long").alias("sym"),
+    )
+
+    sig = words.join(line_stats, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+        "n_words",
+        F.floor(F.col("nonws") * 1000 / F.col("n_words"))
+        .cast("long")
+        .alias("mean_word_len_milli"),
+        F.floor(F.col("sym") * 1000 / F.col("n_words"))
+        .cast("long")
+        .alias("symbol_word_permille"),
+        F.when(F.coalesce("line_chars", F.lit(0)) == 0, F.lit(0))
+        .otherwise(F.floor(F.col("dup_chars") * 1000 / F.col("line_chars")))
+        .cast("long")
+        .alias("dup_line_char_permille"),
+        F.when(F.coalesce("n_lines", F.lit(0)) == 0, F.lit(0))
+        .otherwise(F.floor(F.col("ell") * 100 / F.col("n_lines")))
+        .cast("long")
+        .alias("ellipsis_line_pct"),
+        F.when(F.coalesce("n_lines", F.lit(0)) == 0, F.lit(0))
+        .otherwise(F.floor(F.col("bul") * 100 / F.col("n_lines")))
+        .cast("long")
+        .alias("bullet_line_pct"),
+        F.floor(F.col("n_alpha") * 100 / F.col("n_words"))
+        .cast("long")
+        .alias("alpha_word_pct"),
+    )
+    bad = (
+        (F.col("mean_word_len_milli") < _GQ_MWL_MIN_MILLI)
+        | (F.col("mean_word_len_milli") > _GQ_MWL_MAX_MILLI)
+        | (F.col("symbol_word_permille") > _GQ_SYM_MAX_PERMILLE)
+        | (F.col("bullet_line_pct") > _GQ_BULLET_MAX_PCT)
+        | (F.col("ellipsis_line_pct") > _GQ_ELLIPSIS_MAX_PCT)
+        | (F.col("alpha_word_pct") < _GQ_ALPHA_MIN_PCT)
+    )
+    return sig.select("*", bad.cast("int").cast("long").alias("is_gopher_bad"))
+
+
+def q_gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_quality_signals(_docs(spark, sf_dir))
+
+
+_GOPHER_SQL = f"""
+WITH ln0 AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), l -> TRIM(l)),
+                     l -> l != '') AS ls
+  FROM documents
+), ln AS (
+  SELECT doc_id, UNNEST(ls) AS l FROM ln0
+), per_line AS (
+  SELECT doc_id, l, COUNT(*) AS c FROM ln GROUP BY doc_id, l
+), linestats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_lines,
+         CAST(SUM(c * length(l)) AS BIGINT) AS line_chars,
+         CAST(SUM((c - 1) * length(l)) AS BIGINT) AS dup_chars,
+         CAST(SUM(c * CASE WHEN l LIKE '%...' OR l LIKE '%…'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ell,
+         CAST(SUM(c * CASE WHEN substring(l, 1, 1) IN ('-', '*', '•')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bul
+  FROM per_line GROUP BY doc_id
+), words AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS nonws,
+         CAST(len(list_filter(regexp_split_to_array(TRIM(text), '\\s+'),
+                              w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+           AS n_alpha,
+         CAST((length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '...', ''))) // 3
+            + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS sym
+  FROM documents
+), sig AS (
+  SELECT w.doc_id,
+         COALESCE(l.n_lines, 0) AS n_lines,
+         w.n_words,
+         CAST(FLOOR(w.nonws * 1000.0 / w.n_words) AS BIGINT) AS mean_word_len_milli,
+         CAST(FLOOR(w.sym * 1000.0 / w.n_words) AS BIGINT) AS symbol_word_permille,
+         CASE WHEN COALESCE(l.line_chars, 0) = 0 THEN 0
+              ELSE CAST(FLOOR(l.dup_chars * 1000.0 / l.line_chars) AS BIGINT)
+         END AS dup_line_char_permille,
+         CASE WHEN COALESCE(l.n_lines, 0) = 0 THEN 0
+              ELSE CAST(FLOOR(l.ell * 100.0 / l.n_lines) AS BIGINT)
+         END AS ellipsis_line_pct,
+         CASE WHEN COALESCE(l.n_lines, 0) = 0 THEN 0
+              ELSE CAST(FLOOR(l.bul * 100.0 / l.n_lines) AS BIGINT)
+         END AS bullet_line_pct,
+         CAST(FLOOR(w.n_alpha * 100.0 / w.n_words) AS BIGINT) AS alpha_word_pct
+  FROM words w LEFT JOIN linestats l USING (doc_id)
+)
+SELECT *,
+       CAST(CASE WHEN mean_word_len_milli < {_GQ_MWL_MIN_MILLI}
+                   OR mean_word_len_milli > {_GQ_MWL_MAX_MILLI}
+                   OR symbol_word_permille > {_GQ_SYM_MAX_PERMILLE}
+                   OR bullet_line_pct > {_GQ_BULLET_MAX_PCT}
+                   OR ellipsis_line_pct > {_GQ_ELLIPSIS_MAX_PCT}
+                   OR alpha_word_pct < {_GQ_ALPHA_MIN_PCT}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_gopher_bad
+FROM sig
+"""
+
+
 # --- exact 13-gram train/eval decontamination ---------------------------------------------
 
 _DECON_N = 13  # GPT-3 appendix C: 13-token overlap => contaminated
@@ -869,5 +1055,11 @@ ORACLES_QUALITY = {
 # contiguous-offset packing is the mode variant of sequence_packing_split
 # (same distributed prefix-sum machinery; split is the trainer-consumable
 # superset).  Still oracle-green via check_oracles + test_extra_oracles.
-EXTRA_QUERIES_QUALITY = {"sequence_packing": q_sequence_packing}
-EXTRA_ORACLES_QUALITY = {"sequence_packing": _PACKING_SQL}
+EXTRA_QUERIES_QUALITY = {
+    "sequence_packing": q_sequence_packing,
+    "gopher_quality_signals": q_gopher_quality_signals,
+}
+EXTRA_ORACLES_QUALITY = {
+    "sequence_packing": _PACKING_SQL,
+    "gopher_quality_signals": _GOPHER_SQL,
+}
