@@ -7,6 +7,7 @@ funnel as a runnable job:
          exact n-gram Jaccard >= threshold drops the larger doc_id; or,
          with --cluster-reps, keeps one representative per connected
          component of the pair graph)
+      -> optional Gopher A1.1 document-filter gate (--gopher-filter)
       -> optional CCNet-style bigram-LM perplexity gate
          (--max-mille-bits)
       -> optional ExactSubstr-style block-dup cut over the survivors
@@ -54,6 +55,23 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         "jaccard_min": args.jaccard_min,
         "near_dup_policy": "cluster_reps" if args.cluster_reps else "pair_loser",
     }
+
+    if args.gopher_filter:
+        # Gopher Appendix-A1.1 document filters over the survivors
+        # (mean word length, symbol ratio, bullet/ellipsis lines,
+        # alpha-word fraction) — cheap per-doc heuristics, so they run
+        # before the heavier LM/block stages.  doc_id-set plumbing.
+        from ..plans.driver_queries_quality import gopher_quality_signals
+
+        surv_docs = docs.join(final, "doc_id", "left_semi")
+        bad = (
+            gopher_quality_signals(surv_docs)
+            .where(F.col("is_gopher_bad") == 1)
+            .select("doc_id")
+        )
+        prev, final = final, final.join(bad, "doc_id", "left_anti").persist()
+        summary["n_after_gopher"] = final.count()  # also the eager fill
+        prev.unpersist()
 
     if args.max_mille_bits is not None:
         # CCNet-style perplexity gate over the survivors: a bigram LM
@@ -161,6 +179,14 @@ def parse_args(argv=None) -> argparse.Namespace:
         "component instead of dropping doc_b of every pair — the "
         "group-level dedup policy (connected components over the "
         ">= threshold Jaccard pair graph)",
+    )
+    p.add_argument(
+        "--gopher-filter",
+        action="store_true",
+        help="drop survivor docs failing the Gopher A1.1 document "
+        "filters (mean word length outside [3,10], symbol-to-word "
+        "> 0.1, > 90%% bullet lines, > 30%% ellipsis lines, "
+        "< 80%% alphabetic words)",
     )
     p.add_argument(
         "--max-mille-bits",

@@ -337,3 +337,59 @@ def test_curate_cut_dup_spans_rewrites_payload(spark, tmp_path):
     # n_chars refreshed to the cleaned text
     for d in (0, 1):
         assert got[d]["n_chars"] == len(got[d]["text"])
+
+
+def test_curate_gopher_filter_stage(spark, tmp_path):
+    """--gopher-filter: a quality-passing doc that is >90% bullet lines
+    fails the Gopher A1.1 gate and drops; prose docs survive. Without
+    the flag the same doc ships."""
+    import random
+
+    rng = random.Random(9)
+    stop = ["the", "and", "of", "to", "in", "is"]
+    vocab = [f"word{j}" for j in range(300)]
+    rows = []
+    for i in range(15):  # prose docs: pass quality AND gopher
+        words = [
+            rng.choice(stop) if k % 4 == 0 else rng.choice(vocab)
+            for k in range(60)
+        ]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    # doc 15: stopword-rich (passes quality) but every line is a bullet
+    rows.append(
+        {
+            "doc_id": 15,
+            "text": "\n".join(
+                f"- the item{k} and of note{k}" for k in range(12)
+            ),
+        }
+    )
+    for r in rows:
+        r.update({"lang": "en", "source": "s", "n_chars": len(r["text"])})
+    path = str(tmp_path / "gq_docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), path)
+
+    out_on = str(tmp_path / "gq_on")
+    summary = run(
+        parse_args(
+            ["--input", path, "--output", out_on,
+             "--jaccard-min", "101",  # disable near-dup for isolation
+             "--gopher-filter"]
+        ),
+        spark,
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(out_on).collect()}
+    assert 15 not in kept
+    assert summary["n_after_gopher"] == len(kept)
+    assert set(range(15)) <= kept  # all prose docs survive
+
+    out_off = str(tmp_path / "gq_off")
+    summary_off = run(
+        parse_args(
+            ["--input", path, "--output", out_off, "--jaccard-min", "101"]
+        ),
+        spark,
+    )
+    assert "n_after_gopher" not in summary_off
+    kept_off = {r["doc_id"] for r in spark.read.parquet(out_off).collect()}
+    assert 15 in kept_off
