@@ -1031,6 +1031,187 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# --- DSIR hashed n-gram importance weights ------------------------------------------------
+
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling"): score every raw doc by how much its hashed n-gram
+# feature distribution resembles a target domain vs the raw pool, then
+# keep the target-like docs.  Here the target is the doc_id % 10 ==
+# _DSIR_TARGET_MOD slice (the oracle-able stand-in for a curated
+# target corpus, same convention as lm_perplexity's train slice).
+_DSIR_BUCKETS = 4096  # 65536 md5-prefix values fold uniformly (16x) onto 4096
+_DSIR_TARGET_MOD = 1
+
+
+def _dsir_gram_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, bucket): every unigram + word-bigram hashed into
+    _DSIR_BUCKETS buckets via the md5 4-hex-prefix recipe.  One explode
+    per doc; the bigram strings ride the same token array."""
+    from .bpe import _adjacent_pairs
+
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda w: w != "",
+        ).alias("t"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.col("t"),
+                F.transform(
+                    _adjacent_pairs(F.col("t")),
+                    lambda p: F.concat_ws(" ", p["a"], p["b"]),
+                ),
+            )
+        ).alias("g"),
+    )
+    return grams.select(
+        "doc_id",
+        (_md5_prefix_val(F.col("g")) % _DSIR_BUCKETS).alias("bucket"),
+    )
+
+
+def dsir_importance(docs: DataFrame) -> DataFrame:
+    """Per-doc DSIR importance weight + selection flag.
+
+    Integer-exact cross-engine recipe: log2 of the add-one-smoothed
+    probability ratio p_target/p_raw decomposes into two floor-log2
+    terms, each computed exactly via a 1024-scaled integer quotient
+    (blen(x) = LENGTH(bin(x)) - 1 = floor(log2 x), so
+    blen((a * 1024) // b) - 10 = floor(log2(a / b)) for a >= b/1024):
+
+        bits = floor(log2((c_t+1) / (c_q+1))) + floor(log2((N_q+B) / (N_t+B)))
+
+    Since c_t <= c_q and N_t <= N_q by construction (the target slice
+    is part of the raw pool), both quotients' scaled numerators stay
+    in range and nothing overflows BIGINT at any corpus scale.  A
+    doc's weight is the sum of its grams' bits; floor quantization
+    costs up to 1 bit per gram uniformly, so selection is calibrated
+    against the corpus rather than zero: is_selected = weight strictly
+    above the MEAN weight of scored docs (integer cross-multiplication
+    w * n_scored > sum_w — the deterministic, oracle-able stand-in for
+    DSIR's top-k resample).
+
+    Scale shape: ONE map-side-combinable groupBy(bucket) builds both
+    count columns in a single corpus pass (target counts are a
+    conditional sum — no second scan); the B-row score table persists
+    tiny and broadcasts into the scoring join; per-doc weights are one
+    more map-side-combinable agg, and the mean threshold is a 1-row
+    aggregate broadcast back.  The gram explode is recomputed for the
+    scoring pass rather than persisted — at 100 TB the re-scan is
+    cheaper than materializing the exploded grams (lm_perplexity's
+    trade, measured there)."""
+    g = _dsir_gram_rows(docs)
+    is_t = (F.col("doc_id") % 10 == _DSIR_TARGET_MOD).cast("long")
+    bc = g.groupBy("bucket").agg(
+        F.sum(is_t).alias("c_t"),
+        F.count(F.lit(1)).alias("c_q"),
+    )
+    tot = bc.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_q").alias("n_q")
+    )
+
+    # floor(log2(a/b)) = LENGTH(bin((a*1024) DIV b)) - 11, exact while
+    # a*1024 >= b (guaranteed: a >= b/1024 in both uses — c_t <= c_q and
+    # n_t <= n_q since the target slice is part of the raw pool, so the
+    # ratio sits in [1/ratio_max, 1] x [1, ...]); integer DIV keeps the
+    # quotient exact at any count (Spark DIV == DuckDB //, the repo's
+    # verified recipe — a float divide would drift past 2^53).  A bucket
+    # whose raw mass exceeds its target mass 1024-fold quotients to 0 ->
+    # bin(0) -> a flat -10 term: a deterministic per-gram penalty clamp
+    # (the _LM_UNSEEN_BITS idea), identical in both engines
+    B = _DSIR_BUCKETS
+    score = (
+        bc.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "bucket",
+            "CAST((LENGTH(BIN(((c_t + 1) * 1024) DIV (c_q + 1))) - 11)"
+            f" + (LENGTH(BIN(((n_q + {B}) * 1024) DIV (n_t + {B}))) - 11)"
+            " AS BIGINT) AS bits",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    score.count()  # eager fill: <= B rows, feeds the broadcast scoring join
+    per_doc = g.join(F.broadcast(score), "bucket").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("bits").alias("weight_bits"),
+    )
+    thresh = per_doc.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum("weight_bits").alias("sum_w"),
+    )
+    w = F.col("weight_bits")
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(thresh))
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(w, F.lit(0)).cast("long").alias("weight_bits"),
+            F.coalesce(
+                w * F.col("n_scored") > F.col("sum_w"), F.lit(False)
+            ).alias("is_selected"),
+        )
+    )
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_importance(_docs(spark, sf_dir))
+
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(TRIM(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), gr AS (
+  SELECT doc_id, UNNEST(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, t[i + 1] || ' ' || t[i + 2] AS g
+  FROM toks, unnest(range(0, len(t) - 1)) AS r(i)
+), grams AS (
+  SELECT doc_id, {_md5_prefix_sql("md5(g)")} % {_DSIR_BUCKETS} AS bucket
+  FROM gr
+), bc AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN doc_id % 10 = {_DSIR_TARGET_MOD}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+         CAST(COUNT(*) AS BIGINT) AS c_q
+  FROM grams GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+         CAST(SUM(c_q) AS BIGINT) AS n_q
+  FROM bc
+), score AS (
+  SELECT bucket,
+         CAST((LENGTH(bin(((c_t + 1) * 1024) // (c_q + 1))) - 11)
+            + (LENGTH(bin(((n_q + {_DSIR_BUCKETS}) * 1024)
+                          // (n_t + {_DSIR_BUCKETS}))) - 11)
+              AS BIGINT) AS bits
+  FROM bc, tot
+), per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(bits) AS BIGINT) AS weight_bits
+  FROM grams JOIN score USING (bucket) GROUP BY doc_id
+), thresh AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+         CAST(SUM(weight_bits) AS BIGINT) AS sum_w
+  FROM per_doc
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.weight_bits, 0) AS BIGINT) AS weight_bits,
+       COALESCE(p.weight_bits * t.n_scored > t.sum_w, FALSE) AS is_selected
+FROM documents d LEFT JOIN per_doc p USING (doc_id), thresh t
+"""
+
+
 QUERIES_QUALITY = {
     "repetition_stats": q_repetition_stats,
     "gram_decontamination": q_gram_decontamination,
@@ -1058,8 +1239,10 @@ ORACLES_QUALITY = {
 EXTRA_QUERIES_QUALITY = {
     "sequence_packing": q_sequence_packing,
     "gopher_quality_signals": q_gopher_quality_signals,
+    "dsir_importance_weights": q_dsir_importance,
 }
 EXTRA_ORACLES_QUALITY = {
     "sequence_packing": _PACKING_SQL,
     "gopher_quality_signals": _GOPHER_SQL,
+    "dsir_importance_weights": _DSIR_SQL,
 }
