@@ -13,6 +13,8 @@ funnel as a runnable job:
       -> optional ExactSubstr-style block-dup cut over the survivors
          (--max-dup-block-pct)
       -> optional temperature language rebalancing (--lang-rebalance)
+      -> optional C4 line/page payload rewrite (--c4-clean)
+      -> optional ExactSubstr span-cut payload rewrite (--cut-dup-spans)
 
 Usage:
   python -m coa_ocr_simple_spark.jobs.curate \\
@@ -123,6 +125,29 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         prev.unpersist()
 
     curated = docs.join(final, "doc_id", "left_semi")
+    n_live = final.count()  # running count across payload-rewrite stages
+
+    if args.c4_clean:
+        # C4 line/page cleaning (Raffel et al. 2020 s2.2): payload
+        # rewrite — survivors keep only terminal-punctuated >= 3-word
+        # non-javascript lines; pages with < 5 kept lines, lorem ipsum,
+        # or curly braces drop entirely.  n_chars tracks the new text.
+        from ..plans.driver_queries_quality import c4_line_clean
+
+        c4 = c4_line_clean(curated)
+        summary["n_c4_dropped_docs"] = c4.where("is_dropped").count()
+        curated = (
+            curated.drop("text", "n_chars")
+            .join(
+                c4.where(~F.col("is_dropped")).select("doc_id", "text_clean"),
+                "doc_id",
+            )
+            .withColumn("n_chars", F.length("text_clean").cast("long"))
+            .withColumnRenamed("text_clean", "text")
+            .select(*docs.columns)
+        )
+        n_live -= summary["n_c4_dropped_docs"]
+        summary["n_after_c4"] = n_live
 
     if args.cut_dup_spans:
         # ExactSubstr CUT pass (Lee et al. 2022): the only stage that
@@ -147,9 +172,8 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
             .withColumnRenamed("text_clean", "text")
             .select(*docs.columns)
         )
-        summary["n_after_span_cut"] = (
-            final.count() - summary["n_fully_cut_docs"]
-        )
+        n_live -= summary["n_fully_cut_docs"]
+        summary["n_after_span_cut"] = n_live
 
     io.append(curated, args.output)
     summary["n_curated"] = final.count()
@@ -204,6 +228,13 @@ def parse_args(argv=None) -> argparse.Namespace:
         help="ExactSubstr-style stage: drop survivor docs whose "
         "duplicated-(20-token-)block fraction exceeds this percent "
         "(canonical first occurrences don't count against a doc)",
+    )
+    p.add_argument(
+        "--c4-clean",
+        action="store_true",
+        help="C4-style payload rewrite on the shipped text: keep only "
+        "terminal-punctuated >= 3-word non-javascript lines; drop "
+        "pages with < 5 kept lines, 'lorem ipsum', or curly braces",
     )
     p.add_argument(
         "--cut-dup-spans",

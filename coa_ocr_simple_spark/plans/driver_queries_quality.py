@@ -1031,6 +1031,100 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# --- C4-style line-level cleaning ---------------------------------------------------------
+
+# Raffel et al. 2020 (C4), section 2.2 heuristics, line/page proxy form:
+#   keep a line iff it ends in terminal punctuation (. ! ? "), has
+#   >= _C4_MIN_LINE_WORDS words, and does not mention javascript;
+#   drop the whole page iff fewer than _C4_MIN_KEPT_LINES lines
+#   survive (the standard kept-lines proxy for C4's sentence count),
+#   or the page contains "lorem ipsum" or a curly brace.
+# The naughty-wordlist page filter is NOT included (it requires the
+# external blocklist asset); redact_pii covers the privacy-adjacent
+# concern this corpus can express.
+_C4_MIN_LINE_WORDS = 3
+_C4_MIN_KEPT_LINES = 5
+
+
+def c4_line_clean(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_lines, n_kept, is_dropped, text_clean): C4 cleaning
+    as a payload rewrite — surviving pages' text is the kept lines
+    re-joined with newlines; dropped pages keep their stats but get an
+    empty text_clean so the frame stays one-row-per-doc.
+
+    Scale shape: a single JVM projection per row (split + two linear
+    HOF passes), zero shuffles, zero joins — the trimmed line array is
+    materialized in its own projection with two downstream references
+    so CollapseProject cannot re-inline the split into the filter
+    lambdas (the known HOF hazard)."""
+    keep = (
+        lambda l: l.rlike('[.!?"]$')
+        & (F.size(F.split(l, r"\s+")) >= _C4_MIN_LINE_WORDS)
+        & ~F.lower(l).contains("javascript")
+    )
+    lines = docs.select(
+        "doc_id",
+        F.col("text"),
+        F.filter(
+            F.transform(F.split(F.col("text"), "\n"), lambda l: F.trim(l)),
+            lambda l: l != "",
+        ).alias("ls"),
+    )
+    cleaned = lines.select(
+        "doc_id",
+        F.col("text"),
+        F.size("ls").cast("long").alias("n_lines"),
+        F.filter(F.col("ls"), keep).alias("kept"),
+    )
+    page_bad = (
+        (F.size("kept") < _C4_MIN_KEPT_LINES)
+        | F.lower(F.col("text")).contains("lorem ipsum")
+        | F.col("text").contains("{")
+    )
+    return cleaned.select(
+        "doc_id",
+        "n_lines",
+        F.size("kept").cast("long").alias("n_kept"),
+        page_bad.alias("is_dropped"),
+        F.when(page_bad, F.lit("")).otherwise(
+            F.concat_ws("\n", F.col("kept"))
+        ).alias("text_clean"),
+    )
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return c4_line_clean(_docs(spark, sf_dir))
+
+
+_C4_SQL = f"""
+WITH lines AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)), l -> TRIM(l)),
+                     l -> l != '') AS ls
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, text,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         list_filter(ls, l -> regexp_matches(l, '[.!?"]$')
+                          AND len(regexp_split_to_array(l, '\\s+'))
+                              >= {_C4_MIN_LINE_WORDS}
+                          AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM lines
+)
+SELECT doc_id, n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       (len(kept) < {_C4_MIN_KEPT_LINES}
+        OR contains(lower(text), 'lorem ipsum')
+        OR contains(text, '{{')) AS is_dropped,
+       CASE WHEN len(kept) < {_C4_MIN_KEPT_LINES}
+              OR contains(lower(text), 'lorem ipsum')
+              OR contains(text, '{{')
+            THEN '' ELSE COALESCE(array_to_string(kept, chr(10)), '')
+       END AS text_clean
+FROM cleaned
+"""
+
+
 # --- DSIR hashed n-gram importance weights ------------------------------------------------
 
 # Xie et al. 2023 ("Data Selection for Language Models via Importance
@@ -1240,9 +1334,11 @@ EXTRA_QUERIES_QUALITY = {
     "sequence_packing": q_sequence_packing,
     "gopher_quality_signals": q_gopher_quality_signals,
     "dsir_importance_weights": q_dsir_importance,
+    "c4_line_filter": q_c4_line_filter,
 }
 EXTRA_ORACLES_QUALITY = {
     "sequence_packing": _PACKING_SQL,
     "gopher_quality_signals": _GOPHER_SQL,
     "dsir_importance_weights": _DSIR_SQL,
+    "c4_line_filter": _C4_SQL,
 }

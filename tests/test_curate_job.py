@@ -393,3 +393,53 @@ def test_curate_gopher_filter_stage(spark, tmp_path):
     assert "n_after_gopher" not in summary_off
     kept_off = {r["doc_id"] for r in spark.read.parquet(out_off).collect()}
     assert 15 in kept_off
+
+
+def test_curate_c4_clean_rewrites_and_drops_pages(spark, tmp_path):
+    """--c4-clean: survivor text keeps only C4-passing lines; a page
+    left with < 5 kept lines drops; composes with --cut-dup-spans
+    (stage counts stay consistent)."""
+    import random
+
+    rng = random.Random(19)
+    stop = ["the", "and", "of", "to", "in", "is"]
+    vocab = [f"word{j}" for j in range(400)]
+
+    def line(seed, n=8):
+        r = random.Random(seed)
+        ws = [r.choice(stop) if k % 3 == 0 else r.choice(vocab) for k in range(n)]
+        return " ".join(ws) + "."
+
+    rows = []
+    for i in range(12):  # clean docs: 6 C4-passing lines each
+        rows.append(
+            {"doc_id": i,
+             "text": "\n".join(line(i * 100 + k) for k in range(6))}
+        )
+    # doc 12: 5 good lines + 2 junk lines (no terminal punct) -> junk cut
+    good = [line(1300 + k) for k in range(5)]
+    rows.append({"doc_id": 12, "text": "\n".join(good + ["no punct line here", "nope"])})
+    # doc 13: only 3 punctuated lines -> whole page drops under C4
+    rows.append(
+        {"doc_id": 13, "text": "\n".join(line(1400 + k) for k in range(3))}
+    )
+    for r in rows:
+        r.update({"lang": "en", "source": "s", "n_chars": len(r["text"])})
+    path = str(tmp_path / "c4_docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), path)
+
+    out = str(tmp_path / "c4_curated")
+    summary = run(
+        parse_args(
+            ["--input", path, "--output", out,
+             "--jaccard-min", "101", "--c4-clean"]
+        ),
+        spark,
+    )
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert 13 not in got
+    assert summary["n_c4_dropped_docs"] == 1
+    assert summary["n_after_c4"] == len(got)
+    # doc 12's junk lines are gone, good lines intact, n_chars refreshed
+    assert got[12]["text"] == "\n".join(good)
+    assert got[12]["n_chars"] == len(got[12]["text"])
