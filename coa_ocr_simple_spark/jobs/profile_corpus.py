@@ -1,0 +1,148 @@
+"""spark-submit entry point for corpus profiling — compute every
+per-document quality attribute ONCE into a wide attributes table, the
+tag-then-curate split production pipelines use (Dolma's taggers,
+RedPajama-V2's quality_signals): expensive signal computation runs a
+single time over the corpus, and any number of downstream curation
+policies filter on the cheap attributes table instead of re-scanning
+payload text.
+
+Signals (all integer-exact, each also an oracle-checked query):
+  lq_    language_quality     stopword-vote lang ID + quality gate
+  rep_   repetition_stats     Gopher dup-line / top-bigram fractions
+  gq_    gopher_quality_signals  full Gopher A1.1 document filters
+  c4_    c4_line_clean        C4 line/page stats (text_clean dropped —
+                              attributes only, payload stays put)
+  lm_    lm_perplexity        CCNet-style bigram-LM bits
+  dsir_  dsir_importance      DSIR hashed n-gram importance weight
+
+Usage:
+  python -m coa_ocr_simple_spark.jobs.profile_corpus \\
+      --input /path/documents.parquet --output /path/attributes \\
+      [--signals lq,rep,gq,c4,lm,dsir] [--report /path/rollup]
+
+Scale shape: each signal is one scan + (at most) one map-side-
+combinable agg keyed by doc_id; the wide table is assembled by
+co-partitioned doc_id equi-joins (same key end to end, no payload
+columns carried through the joins).  The source is NOT cached — at
+10^12 docs a columnar re-scan per signal beats pinning the corpus.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import TableIO
+
+
+def _signal_frames() -> dict[str, Callable[[DataFrame], DataFrame]]:
+    from ..plans.driver_queries_ext import language_quality
+    from ..plans.driver_queries_quality import (
+        c4_line_clean,
+        dsir_importance,
+        gopher_quality_signals,
+        lm_perplexity,
+        repetition_stats,
+    )
+
+    return {
+        "lq": language_quality,
+        "rep": repetition_stats,
+        "gq": gopher_quality_signals,
+        "c4": lambda d: c4_line_clean(d).drop("text_clean"),
+        "lm": lm_perplexity,
+        "dsir": dsir_importance,
+    }
+
+
+# rollup rows: boolean attribute -> count of docs where it holds
+_FLAG_COLUMNS = (
+    "lq_is_quality",
+    "rep_is_repetitive",
+    "gq_is_gopher_bad",
+    "c4_is_dropped",
+    "lm_is_fluent",
+    "dsir_is_selected",
+)
+
+
+def profile_attributes(docs: DataFrame, signals: list[str]) -> DataFrame:
+    """One wide (doc_id, <prefixed signal columns>) frame; every
+    non-key column is prefixed with its signal tag so nothing collides
+    (three signals legitimately emit an n_lines)."""
+    frames = _signal_frames()
+    attrs = docs.select("doc_id")
+    for tag in signals:
+        f = frames[tag](docs)
+        renamed = f.select(
+            "doc_id",
+            *[F.col(c).alias(f"{tag}_{c}") for c in f.columns if c != "doc_id"],
+        )
+        attrs = attrs.join(renamed, "doc_id", "left")
+    return attrs
+
+
+def run(args: argparse.Namespace, spark: SparkSession) -> dict:
+    io = TableIO(spark)
+    docs = io.read(args.input)
+    signals = [s.strip() for s in args.signals.split(",") if s.strip()]
+    unknown = set(signals) - set(_signal_frames())
+    if unknown:
+        raise ValueError(f"unknown signals: {sorted(unknown)}")
+
+    attrs = profile_attributes(docs, signals)
+    io.overwrite(attrs, args.output)  # re-runnable control output
+
+    # rollup over the MATERIALIZED table — one cheap agg on the written
+    # parquet instead of re-executing the six-signal DAG
+    written = io.read(args.output)
+    flags = [c for c in _FLAG_COLUMNS if c in written.columns]
+    rollup = written.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(F.col(c).cast("long")).alias(c) for c in flags],
+    ).collect()[0]
+    summary = {"n_docs": int(rollup["n_docs"]), "signals": signals}
+    for c in flags:
+        summary[f"n_{c}"] = int(rollup[c] or 0)
+
+    if args.report:
+        report = spark.createDataFrame(
+            [(k, int(v)) for k, v in summary.items() if k != "signals"],
+            "stage string, n_docs long",
+        )
+        io.overwrite(report, args.report)
+    return summary
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="corpus attribute profiling")
+    p.add_argument("--input", required=True, help="documents table/path")
+    p.add_argument("--output", required=True, help="attributes table/path")
+    p.add_argument("--report", default=None, help="rollup-counts table/path")
+    p.add_argument(
+        "--signals",
+        default="lq,rep,gq,c4,lm,dsir",
+        help="comma list from {lq,rep,gq,c4,lm,dsir} (default: all)",
+    )
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--conf", action="append", default=[])
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    from .extract import make_session
+
+    args = parse_args(argv)
+    spark = make_session(
+        "coa-profile", args.master, args.shuffle_partitions, args.conf
+    )
+    print(json.dumps(run(args, spark), sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()
