@@ -174,16 +174,10 @@ _GQ_ELLIPSIS_MAX_PCT = 30
 _GQ_ALPHA_MIN_PCT = 80
 
 
-def gopher_quality_signals(docs: DataFrame) -> DataFrame:
-    """Per-doc Gopher quality signals + composite verdict.
-
-    Shape: line signals ride ONE explode -> (doc_id, line) count agg ->
-    per-doc agg (constant memory per task, the repetition_stats shape);
-    word signals are a pure per-row JVM projection (no explode — word
-    counts come from length arithmetic, the only HOF is the linear
-    alpha-word filter).  One doc_id join stitches them; every division
-    is guarded and floored so the oracle is exact.
-    """
+def _gopher_line_stats_exploded(docs: DataFrame) -> DataFrame:
+    """Line signals via ONE explode -> (doc_id, line) count agg ->
+    per-doc agg (constant memory per task, the repetition_stats shape)
+    — the batch form."""
     ln = docs.select(
         "doc_id",
         F.explode(
@@ -198,7 +192,7 @@ def gopher_quality_signals(docs: DataFrame) -> DataFrame:
         F.col("l").endswith("...") | F.col("l").endswith("…")
     ).cast("long")
     is_bul = F.substring("l", 1, 1).isin("-", "*", "•").cast("long")
-    line_stats = per_line.groupBy("doc_id").agg(
+    return per_line.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_lines"),
         F.sum(F.col("c") * F.length("l")).cast("long").alias("line_chars"),
         F.sum((F.col("c") - 1) * F.length("l")).cast("long").alias("dup_chars"),
@@ -206,9 +200,11 @@ def gopher_quality_signals(docs: DataFrame) -> DataFrame:
         F.sum(F.col("c") * is_bul).cast("long").alias("bul"),
     )
 
+
+def _gopher_sym() -> "F.Column":
     # '...' occurrences are counted non-overlapping left-to-right by
     # replace() in BOTH engines; the length deltas are exact multiples
-    sym = (
+    return (
         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
         + F.floor(
             (
@@ -222,23 +218,101 @@ def gopher_quality_signals(docs: DataFrame) -> DataFrame:
             - F.length(F.replace(F.col("text"), F.lit("…"), F.lit("")))
         )
     )
-    # t: 2 lexical refs (size + alpha filter) -> the split materializes
-    # here instead of being re-inlined per lambda element
-    words = docs.select(
-        "doc_id",
-        F.col("text"),
-        F.split(F.trim(F.col("text")), r"\s+").alias("t"),
-    ).select(
-        "doc_id",
+
+
+def _gopher_word_cols():
+    # consumes a frame with (text, t); t has 2 lexical refs (size +
+    # alpha filter) so the split materializes here instead of being
+    # re-inlined per lambda element
+    return [
         F.size("t").cast("long").alias("n_words"),
         F.length(F.regexp_replace("text", r"\s+", "")).cast("long").alias("nonws"),
         F.size(F.filter("t", lambda w: w.rlike("[A-Za-z]")))
         .cast("long")
         .alias("n_alpha"),
-        sym.cast("long").alias("sym"),
+        _gopher_sym().cast("long").alias("sym"),
+    ]
+
+
+def gopher_quality_signals(docs: DataFrame) -> DataFrame:
+    """Per-doc Gopher quality signals + composite verdict.
+
+    Shape, batch: line signals ride ONE explode -> (doc_id, line) count
+    agg -> per-doc agg (constant memory per task, the repetition_stats
+    shape); word signals are a pure per-row JVM projection; one doc_id
+    join stitches them.  Shape, streaming: a completely join-free
+    single projection chain (the stateless sorted-adjacent rowwise line
+    form — a groupBy OR a self-join on a stream would be stateful),
+    parity-pinned against the batch form by
+    test_gopher_rowwise_matches_exploded.  Every division is guarded
+    and floored so the oracle is exact."""
+    if docs.isStreaming:
+        return _gopher_verdict(_gopher_raw_rowwise(docs))
+    line_stats = _gopher_line_stats_exploded(docs)
+    words = docs.select(
+        "doc_id",
+        F.col("text"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("t"),
+    ).select("doc_id", *_gopher_word_cols())
+    return _gopher_verdict(words.join(line_stats, "doc_id", "left"))
+
+
+def _gopher_raw_rowwise(docs: DataFrame) -> DataFrame:
+    """All ten raw signal columns in ONE join-free projection chain —
+    the streaming form.  ``ls``/``sl``/``t`` are each materialized in
+    their own projection with >= 2 lexical references downstream so
+    CollapseProject cannot re-inline the split/sort into the HOF
+    lambdas (the known hazard)."""
+    ls_expr = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    base = docs.select(
+        "doc_id",
+        "text",
+        ls_expr.alias("ls"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("t"),
+    ).select("doc_id", "text", "ls", "t", F.array_sort("ls").alias("sl"))
+    zero = F.lit(0).cast("long")
+    n = F.size("sl")
+    dup_chars = F.when(
+        n >= 2,
+        F.aggregate(
+            F.zip_with(
+                F.slice("sl", 1, n - 1),
+                F.slice(F.col("sl"), 2, n - 1),
+                lambda x, y: F.when(x == y, F.length(x)).otherwise(F.lit(0)),
+            ),
+            zero,
+            lambda acc, v: acc + v,
+        ),
+    ).otherwise(zero)
+    return base.select(
+        "doc_id",
+        F.size("ls").cast("long").alias("n_lines"),
+        F.aggregate("ls", zero, lambda acc, l: acc + F.length(l))
+        .cast("long")
+        .alias("line_chars"),
+        dup_chars.cast("long").alias("dup_chars"),
+        F.size(
+            F.filter("ls", lambda l: l.endswith("...") | l.endswith("…"))
+        )
+        .cast("long")
+        .alias("ell"),
+        F.size(
+            F.filter("ls", lambda l: F.substring(l, 1, 1).isin("-", "*", "•"))
+        )
+        .cast("long")
+        .alias("bul"),
+        *_gopher_word_cols(),
     )
 
-    sig = words.join(line_stats, "doc_id", "left").select(
+
+def _gopher_verdict(raw: DataFrame) -> DataFrame:
+    """Final permille/percent projection + composite verdict over the
+    raw signal columns (line columns may be null from the batch form's
+    left join — docs with no lines coalesce to 0)."""
+    sig = raw.select(
         "doc_id",
         F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
         "n_words",

@@ -124,3 +124,27 @@ def test_case_preserving_alpha_and_unicode_ellipsis(spark):
     # accented-only words carry no ASCII [A-Za-z]: 3 of 4 words fail
     assert got[0][7] == 25
     assert got[1][5] == 100
+
+
+def test_gopher_rowwise_matches_exploded(spark):
+    """The stateless rowwise (streaming) form and the explode+agg
+    (batch) form are value-identical — the dispatch parity pin."""
+    from coa_ocr_simple_spark.plans.driver_queries_quality import (
+        _gopher_raw_rowwise,
+        _gopher_verdict,
+    )
+
+    rng = random.Random(31)
+    pieces = [
+        "dup line here", "- bullet", "* star", "tail...", "so…", "word",
+        "#tag", "12 34", "a" * 15, "mixed words and.", "",
+    ]
+    texts = []
+    for _ in range(30):
+        n = rng.randrange(0, 12)
+        texts.append("\n".join(rng.choice(pieces) for _ in range(n)))
+    texts += ["", "\n\n", "one two three"]
+    df = _docs_df(spark, texts)
+    batch = _collect(gopher_quality_signals(df))
+    rowwise = _collect(_gopher_verdict(_gopher_raw_rowwise(df)))
+    assert batch == rowwise
