@@ -1105,6 +1105,209 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# --- full Gopher n-gram repetition table --------------------------------------------------
+
+# Rae et al. 2021, Appendix A1.1, the remaining repetition filters:
+# for n in 2..4 the fraction of characters in the most frequent n-gram
+# (as max over grams of count * gram_chars — deterministic under count
+# ties, equal to Gopher's definition whenever the top gram is unique);
+# for n in 5..10 the fraction of characters covered by ANY duplicated
+# n-gram, overlapping positions counted ONCE (position-set union).
+# Character basis: non-whitespace chars (token concatenation length).
+_NGRAM_TOP_NS = (2, 3, 4)
+_NGRAM_DUP_NS = (5, 6, 7, 8, 9, 10)
+_NGRAM_TOP_MAX = {2: 200, 3: 180, 4: 160}  # permille thresholds
+_NGRAM_DUP_MAX = {5: 150, 6: 140, 7: 130, 8: 120, 9: 110, 10: 100}
+
+
+def ngram_repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc Gopher n-gram repetition fractions + composite verdict.
+
+    Scale shape: ONE token split per doc; grams for all nine n values
+    ride two chained Generates over cheap arrays (first the 9-element
+    literal n array, then the index sequence — the block_occurrences
+    linear shape: the token array crosses both Generates as a bound
+    attribute inside one codegen stage and is dropped before the only
+    wide shuffle, the (doc_id, n, gram) count agg).  Duplicate-coverage
+    de-overlap is an exact position-set union: dup occurrences explode
+    to covered positions, distinct, then join the per-position token
+    lengths — every join/agg keyed by doc_id(+n/pos), co-partitioned,
+    per-doc bounded.  All fractions are floored permille integers so
+    the DuckDB oracle hash-matches."""
+    pre = docs.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", r"\s+", ""))
+        .cast("long")
+        .alias("nonws"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda w: w != "",
+        ).alias("t"),
+    )
+    all_ns = list(_NGRAM_TOP_NS + _NGRAM_DUP_NS)
+    exn = pre.select("doc_id", "t", F.explode(F.lit(all_ns)).alias("n"))
+    idx = F.when(
+        F.size("t") >= F.col("n"),
+        F.sequence(F.lit(0), F.size("t") - F.col("n")),
+    ).otherwise(F.array().cast("array<int>"))
+    exi = exn.select("doc_id", "t", "n", idx.alias("ix")).select(
+        "doc_id", "t", "n", F.explode("ix").alias("i")
+    )
+    gkey = F.concat_ws(
+        "\x01", F.slice(F.col("t"), F.col("i") + 1, F.col("n"))
+    )
+    occ = exi.select("doc_id", "n", "i", gkey.alias("g"))
+
+    cnt = occ.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    gram_chars = F.length("g") - (F.col("n") - 1)  # 1-char separators
+    tops = (
+        cnt.where(F.col("n").isin(*_NGRAM_TOP_NS))
+        .groupBy("doc_id", "n")
+        .agg(F.max(F.col("c") * gram_chars).cast("long").alias("v"))
+    )
+
+    dup_keys = cnt.where(
+        F.col("n").isin(*_NGRAM_DUP_NS) & (F.col("c") >= 2)
+    ).select("doc_id", "n", "g")
+    dup_occ = occ.join(dup_keys, ["doc_id", "n", "g"], "left_semi")
+    pos = dup_occ.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(F.col("i"), F.col("i") + F.col("n") - 1)
+        ).alias("p"),
+    ).distinct()
+    toklen = pre.select(
+        "doc_id", F.posexplode("t").alias("p", "w")
+    ).select("doc_id", "p", F.length("w").alias("wl"))
+    dups = (
+        pos.join(toklen, ["doc_id", "p"])
+        .groupBy("doc_id", "n")
+        .agg(F.sum("wl").cast("long").alias("v"))
+    )
+
+    metrics = tops.unionByName(dups)
+    names = [f"top{n}" for n in _NGRAM_TOP_NS] + [
+        f"dup{n}" for n in _NGRAM_DUP_NS
+    ]
+    wide = metrics.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("n") == n, F.col("v"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"{name}_chars")
+            for name, n in zip(names, all_ns)
+        ]
+    )
+    base = pre.select("doc_id", "nonws").join(wide, "doc_id", "left")
+    permille = lambda c: (  # noqa: E731
+        F.when(F.col("nonws") == 0, F.lit(0))
+        .otherwise(F.floor(F.coalesce(c, F.lit(0)) * 1000 / F.col("nonws")))
+        .cast("long")
+    )
+    sig = base.select(
+        "doc_id",
+        *[
+            permille(F.col(f"{name}_chars")).alias(f"{name}_gram_char_permille")
+            for name in names
+        ],
+    )
+    bad = None
+    for n in _NGRAM_TOP_NS:
+        cond = F.col(f"top{n}_gram_char_permille") > _NGRAM_TOP_MAX[n]
+        bad = cond if bad is None else (bad | cond)
+    for n in _NGRAM_DUP_NS:
+        bad = bad | (F.col(f"dup{n}_gram_char_permille") > _NGRAM_DUP_MAX[n])
+    return sig.select(
+        "*", bad.cast("int").cast("long").alias("is_ngram_repetitive")
+    )
+
+
+def q_ngram_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_repetition_stats(_docs(spark, sf_dir))
+
+
+def _ngram_repetition_sql() -> str:
+    all_ns = list(_NGRAM_TOP_NS + _NGRAM_DUP_NS)
+    names = [f"top{n}" for n in _NGRAM_TOP_NS] + [
+        f"dup{n}" for n in _NGRAM_DUP_NS
+    ]
+    wide_cols = ",\n         ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN n = {n} THEN v END), 0) AS BIGINT)"
+        f" AS {name}_chars"
+        for name, n in zip(names, all_ns)
+    )
+    sig_cols = ",\n       ".join(
+        f"CASE WHEN b.nonws = 0 THEN 0 ELSE CAST(FLOOR("
+        f"COALESCE(w.{name}_chars, 0) * 1000.0 / b.nonws) AS BIGINT) END"
+        f" AS {name}_gram_char_permille"
+        for name in names
+    )
+    verdict = " OR ".join(
+        [
+            f"top{n}_gram_char_permille > {_NGRAM_TOP_MAX[n]}"
+            for n in _NGRAM_TOP_NS
+        ]
+        + [
+            f"dup{n}_gram_char_permille > {_NGRAM_DUP_MAX[n]}"
+            for n in _NGRAM_DUP_NS
+        ]
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS nonws,
+         list_filter(regexp_split_to_array(lower(TRIM(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), occ AS (
+  SELECT doc_id, n, i,
+         array_to_string(t[CAST(i + 1 AS BIGINT):CAST(i + n AS BIGINT)],
+                         chr(1)) AS g
+  FROM toks,
+       unnest([{", ".join(str(n) for n in all_ns)}]) AS nn(n),
+       unnest(range(0, len(t) - n + 1)) AS r(i)
+), cnt AS (
+  SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM occ GROUP BY doc_id, n, g
+), tops AS (
+  SELECT doc_id, n,
+         CAST(MAX(c * (length(g) - (n - 1))) AS BIGINT) AS v
+  FROM cnt WHERE n IN ({", ".join(str(n) for n in _NGRAM_TOP_NS)})
+  GROUP BY doc_id, n
+), dupk AS (
+  SELECT doc_id, n, g FROM cnt
+  WHERE c >= 2 AND n IN ({", ".join(str(n) for n in _NGRAM_DUP_NS)})
+), pos AS (
+  SELECT DISTINCT o.doc_id, o.n, p
+  FROM occ o JOIN dupk USING (doc_id, n, g),
+       unnest(range(o.i, o.i + o.n)) AS rr(p)
+), toklen AS (
+  SELECT doc_id, p, CAST(length(t[CAST(p + 1 AS BIGINT)]) AS BIGINT) AS wl
+  FROM toks, unnest(range(0, len(t))) AS rr(p)
+), dups AS (
+  SELECT pos.doc_id, pos.n, CAST(SUM(wl) AS BIGINT) AS v
+  FROM pos JOIN toklen USING (doc_id, p)
+  GROUP BY pos.doc_id, pos.n
+), metrics AS (
+  SELECT * FROM tops UNION ALL SELECT * FROM dups
+), wide AS (
+  SELECT doc_id,
+         {wide_cols}
+  FROM metrics GROUP BY doc_id
+), sig AS (
+  SELECT b.doc_id,
+       {sig_cols}
+  FROM toks b LEFT JOIN wide w USING (doc_id)
+)
+SELECT *,
+       CAST(CASE WHEN {verdict} THEN 1 ELSE 0 END AS BIGINT)
+         AS is_ngram_repetitive
+FROM sig
+"""
+
+
 # --- C4-style line-level cleaning ---------------------------------------------------------
 
 # Raffel et al. 2020 (C4), section 2.2 heuristics, line/page proxy form:
@@ -1409,10 +1612,12 @@ EXTRA_QUERIES_QUALITY = {
     "gopher_quality_signals": q_gopher_quality_signals,
     "dsir_importance_weights": q_dsir_importance,
     "c4_line_filter": q_c4_line_filter,
+    "ngram_repetition_stats": q_ngram_repetition_stats,
 }
 EXTRA_ORACLES_QUALITY = {
     "sequence_packing": _PACKING_SQL,
     "gopher_quality_signals": _GOPHER_SQL,
     "dsir_importance_weights": _DSIR_SQL,
     "c4_line_filter": _C4_SQL,
+    "ngram_repetition_stats": _ngram_repetition_sql(),
 }
