@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .driver_queries import minhash_bands, q_dedup_minhash_bands
 from .driver_queries_ext import _HEX, _probe_dim, _quantize
@@ -375,6 +376,213 @@ WITH q AS (
 SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot_q
 FROM scored
 WHERE dot > 0 AND 10000 * dot * dot > 1600 * na * nb
+"""
+
+
+# --- SemDeDup: cluster-scoped semantic pruning ------------------------------------------
+
+# Abbas et al. 2023 (SemDeDup): cluster the embedding space, compare
+# pairs only WITHIN a cluster, and among semantically-duplicate pairs
+# keep the example with the LOWEST similarity to its cluster centroid
+# (the "keep the outlier" policy — centroid-typical members carry the
+# least marginal information).  Complements embedding_neardup: that op
+# LISTS near-dup pairs via sign-LSH recall; this one makes the
+# per-example KEEP/DROP decision via an exhaustive in-cluster scan,
+# which is the published algorithm's shape (k-means partitions make the
+# quadratic local).
+_SEMDEDUP_TAU_SQ_E4 = 1600  # cos > 0.40 — same planted-dup threshold as neardup
+# hot-cluster guard, same rationale as _MAX_IVF_LIST: one cluster's
+# pairs land in one equi-join task, so a degenerate quantizer cell would
+# become a single-task quadratic scan.  Oversized clusters skip the pair
+# stage (their members are all kept); production would re-train or split
+# the cell.  Part of the query definition, mirrored in the oracle.
+_MAX_SEMDEDUP_CLUSTER = 4096
+
+
+def _long_dot(x, y) -> Column:
+    """Exact integer dot product of two quantized arrays (components
+    ~1e3, dim 64 -> |dot| <= ~6.4e7: long is exact)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_queries import _spread
+
+    path = f"{sf_dir}/embeddings.parquet"
+    return semdedup_prune(_spread(spark.read.parquet(path), path))
+
+
+def semdedup_prune(emb_raw: DataFrame) -> DataFrame:
+    """Per-vector SemDeDup verdict: (vec_id, centroid_id, n_similar,
+    is_semdup_dropped).
+
+    Plan shape at 10^12 vectors: centroids are a deterministic 1/97
+    seed subset — broadcast for ASSIGNMENT only (rank-1 argmax per
+    vector); every later step is an equi-join/agg on centroid_id or
+    vec_id, co-partitioned, never all-pairs.  In-cluster pair fan-out
+    is bounded by the _MAX_SEMDEDUP_CLUSTER cap.  All comparisons are
+    exact integers: quantized dot products, the cosine threshold as a
+    cross-multiplication (cos > T  <=>  dot > 0 AND 1e4*dot^2 >
+    (1e4*T^2)*|a|^2*|b|^2), and the keep-policy comparison
+    cos(a,c) vs cos(b,c) via the signed-square cross-mult
+    ca*|ca|*nrm_b  vs  cb*|cb|*nrm_a (|c| cancels, sqrt eliminated by
+    t*|t| monotonicity) in decimal(38,0) — ties drop the larger
+    vec_id.  A vector is dropped iff ANY in-cluster neighbor above the
+    threshold is strictly more keep-worthy (closer-to-centroid members
+    lose, per the paper)."""
+    from .driver_queries_ext import _IVF_CENTROID_MOD
+
+    emb = emb_raw.select(
+        "vec_id", _quantize(F.col("embedding")).alias("qv")
+    ).withColumn("nrm", _long_dot("qv", "qv"))
+    centroids = emb.where(F.col("vec_id") % _IVF_CENTROID_MOD == 1).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv")
+    )
+    cand = emb.crossJoin(F.broadcast(centroids))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cdot"), F.asc("centroid_id")
+    )
+    assigned = (
+        cand.select(
+            "vec_id", "qv", "nrm", "centroid_id",
+            _long_dot("qv", "cv").alias("cdot"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # 4 independent consumers (size pass, both pair sides, final join)
+    # over an expensive subtree (broadcast fan-out + window): eager fill,
+    # the _pairs_within_buckets cold-cache-race rationale.
+    assigned.count()
+
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("csz")
+    )
+    small = assigned.join(
+        sizes.where(F.col("csz") <= _MAX_SEMDEDUP_CLUSTER),
+        "centroid_id",
+        "left_semi",
+    )
+    a = small.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_a"), F.col("qv").alias("va"),
+        F.col("nrm").alias("na"), F.col("cdot").alias("ca"),
+    )
+    b = small.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_b"), F.col("qv").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("cdot").alias("cb"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    pr = (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", "na", "nb", "ca", "cb",
+            _long_dot("va", "vb").alias("dot"),
+        )
+    )
+    sim = (
+        pr.where(
+            (F.col("dot") > 0)
+            & (
+                dec("dot") * dec("dot") * 10000
+                > dec("na") * dec("nb") * _SEMDEDUP_TAU_SQ_E4
+            )
+        )
+        .withColumn("ka", dec("ca") * F.abs(dec("ca")) * dec("nb"))
+        .withColumn("kb", dec("cb") * F.abs(dec("cb")) * dec("na"))
+        .select(
+            "id_a", "id_b",
+            F.when(F.col("ka") > F.col("kb"), F.col("id_a"))
+            .when(F.col("ka") < F.col("kb"), F.col("id_b"))
+            .otherwise(F.greatest("id_a", "id_b"))
+            .alias("loser"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)  # 2 consumers: counts + losers
+    )
+    nsim = (
+        sim.select(F.col("id_a").alias("vec_id"))
+        .unionByName(sim.select(F.col("id_b").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_sim"))
+    )
+    losers = sim.select(F.col("loser").alias("vec_id")).distinct().withColumn(
+        "flag", F.lit(1)
+    )
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .join(nsim, "vec_id", "left")
+        .join(losers, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce("n_sim", F.lit(0)).cast("long").alias("n_similar"),
+            F.coalesce("flag", F.lit(0))
+            .cast("long")
+            .alias("is_semdup_dropped"),
+        )
+    )
+
+
+def _semdedup_sql() -> str:
+    from .driver_queries_ext import _IVF_CENTROID_MOD
+
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS HUGEINT) AS nrm FROM q
+), c AS (
+  SELECT vec_id AS centroid_id, qv AS cv FROM q
+  WHERE vec_id % {_IVF_CENTROID_MOD} = 1
+), scored AS (
+  SELECT n.vec_id, n.qv, n.nrm, c.centroid_id,
+         CAST(list_dot_product(n.qv, c.cv) AS HUGEINT) AS cdot,
+         ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                            ORDER BY CAST(list_dot_product(n.qv, c.cv) AS BIGINT) DESC,
+                                     c.centroid_id ASC) AS rn
+  FROM n CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, qv, nrm, centroid_id, cdot FROM scored WHERE rn = 1
+), sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY centroid_id) AS csz FROM assigned
+), pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.nrm AS na, b.nrm AS nb, a.cdot AS ca, b.cdot AS cb,
+         CAST(list_dot_product(a.qv, b.qv) AS HUGEINT) AS dot
+  FROM sized a JOIN sized b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE a.csz <= {_MAX_SEMDEDUP_CLUSTER}
+), sim AS (
+  SELECT id_a, id_b,
+         CASE WHEN ca * abs(ca) * nb > cb * abs(cb) * na THEN id_a
+              WHEN ca * abs(ca) * nb < cb * abs(cb) * na THEN id_b
+              ELSE greatest(id_a, id_b) END AS loser
+  FROM pr
+  WHERE dot > 0 AND 10000 * dot * dot > {_SEMDEDUP_TAU_SQ_E4} * na * nb
+), nsim AS (
+  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_similar FROM (
+    SELECT id_a AS vec_id FROM sim UNION ALL SELECT id_b FROM sim
+  ) GROUP BY vec_id
+), losers AS (
+  SELECT DISTINCT loser AS vec_id FROM sim
+)
+SELECT a.vec_id, a.centroid_id,
+       CAST(COALESCE(s.n_similar, 0) AS BIGINT) AS n_similar,
+       CAST(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_semdup_dropped
+FROM assigned a
+LEFT JOIN nsim s USING (vec_id)
+LEFT JOIN losers l USING (vec_id)
 """
 
 
@@ -710,5 +918,11 @@ ORACLES_DEDUP = {
 # dedup_minhash_bands (the signature surface) and ngram_jaccard_pairs
 # (which consumes these candidates); the pair-listing variant is held to
 # the same oracle bar by scripts/check_oracles.py + tests.
-EXTRA_QUERIES_DEDUP = {"minhash_candidate_pairs": q_minhash_candidate_pairs}
-EXTRA_ORACLES_DEDUP = {"minhash_candidate_pairs": _minhash_pairs_sql()}
+EXTRA_QUERIES_DEDUP = {
+    "minhash_candidate_pairs": q_minhash_candidate_pairs,
+    "semdedup_prune": q_semdedup,
+}
+EXTRA_ORACLES_DEDUP = {
+    "minhash_candidate_pairs": _minhash_pairs_sql(),
+    "semdedup_prune": _semdedup_sql(),
+}
