@@ -806,6 +806,121 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
     return sql
 
 
+# --- CCNet-style corpus-level paragraph dedup ---------------------------------------------
+
+# Wenzek et al. 2020 (CCNet): the dedup unit is the PARAGRAPH —
+# normalize each newline-separated paragraph, hash it, and keep exactly
+# one occurrence per distinct hash across the WHOLE corpus (the
+# canonical = lowest (doc_id, pos) occurrence).  Complements
+# block_dedup_stats (fixed 20-token windows, alignment-free) and
+# c4_line_filter (within-doc heuristics): this is the cross-document
+# boilerplate-paragraph killer CCNet actually ships.
+
+
+def paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_paragraphs, n_dup_paragraphs, clean_text): corpus-wide
+    paragraph dedup with reassembled surviving text.
+
+    Scale shape: one explode (a paragraph row per newline split), md5 on
+    the normalized paragraph, then two map-side-combinable hash aggs —
+    min(doc_id) per hash and min(pos) per (hash, doc) — joined back on
+    their own grouping keys (co-partitioned equi-joins; a boilerplate
+    mega-hash skews the d0 join-back, which AQE's skew-join splits, and
+    each line still matches exactly one agg row so there is no pair
+    fan-out).  Reassembly is a per-doc sort of surviving paragraphs —
+    bounded by document length, never cross-doc."""
+    raw = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "raw")
+    )
+    norm = F.regexp_replace(F.lower(F.trim("raw")), r"\s+", " ")
+    lines = (
+        raw.select(
+            "doc_id",
+            "pos",
+            F.trim("raw").alias("line"),
+            norm.alias("nrm"),
+        )
+        .where(F.col("nrm") != "")
+        .select("doc_id", "pos", "line", F.md5("nrm").alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # 4 consumers: 2 aggs, join, counts
+    )
+    first_doc = lines.groupBy("h").agg(F.min("doc_id").alias("d0"))
+    first_pos = lines.groupBy("h", "doc_id").agg(F.min("pos").alias("p0"))
+    keep = (
+        lines.join(first_doc, "h")
+        .join(first_pos, ["h", "doc_id"])
+        .where((F.col("doc_id") == F.col("d0")) & (F.col("pos") == F.col("p0")))
+    )
+    cnt = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs")
+    )
+    kept = keep.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_keep"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paragraphs", F.lit(0))
+            .cast("long")
+            .alias("n_paragraphs"),
+            (F.coalesce("n_paragraphs", F.lit(0)) - F.coalesce("n_keep", F.lit(0)))
+            .cast("long")
+            .alias("n_dup_paragraphs"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return paragraph_dedup(_docs(spark, sf_dir))
+
+
+_PARAGRAPH_DEDUP_SQL = r"""
+WITH parts AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ps FROM documents
+), lines0 AS (
+  SELECT doc_id, i AS pos, TRIM(ps[i + 1]) AS line,
+         regexp_replace(lower(TRIM(ps[i + 1])), '\s+', ' ', 'g') AS nrm
+  FROM parts, unnest(range(0, len(ps))) AS r(i)
+), lines AS (
+  SELECT doc_id, pos, line, md5(nrm) AS h FROM lines0 WHERE nrm != ''
+), d0 AS (
+  SELECT h, MIN(doc_id) AS d0 FROM lines GROUP BY h
+), p0 AS (
+  SELECT h, doc_id, MIN(pos) AS p0 FROM lines GROUP BY h, doc_id
+), keep AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l JOIN d0 USING (h) JOIN p0 USING (h, doc_id)
+  WHERE l.doc_id = d0.d0 AND l.pos = p0.p0
+), cnt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paragraphs
+  FROM lines GROUP BY doc_id
+), ka AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_keep,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM keep GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+       CAST(COALESCE(c.n_paragraphs, 0) - COALESCE(k.n_keep, 0) AS BIGINT)
+         AS n_dup_paragraphs,
+       COALESCE(k.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN cnt c USING (doc_id)
+LEFT JOIN ka k USING (doc_id)
+"""
+
+
 EXTRA_QUERIES_MIX = {
     "shard_manifest": q_shard_manifest,
     "lang_mixture_sample_a75": q_lang_mixture_sample_a75,  # temperature knob
@@ -813,6 +928,7 @@ EXTRA_QUERIES_MIX = {
     "bpe_encode_corpus": q_bpe_encode_corpus,  # merge-list application
     "exact_substr_spans": q_exact_substr_spans,  # stride-1 ExactSubstr spans
     "exact_substr_cut": q_exact_substr_cut,  # the span CUT pass (cleaned text)
+    "paragraph_dedup": q_paragraph_dedup,  # CCNet corpus-level paragraph dedup
 }
 EXTRA_ORACLES_MIX = {
     "shard_manifest": _manifest_sql(),
@@ -821,4 +937,5 @@ EXTRA_ORACLES_MIX = {
     "bpe_encode_corpus": _encode_sql(),
     "exact_substr_spans": _span_sql(),
     "exact_substr_cut": _cut_sql(),
+    "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
 }
