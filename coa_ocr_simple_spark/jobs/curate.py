@@ -14,6 +14,8 @@ funnel as a runnable job:
          (--max-dup-block-pct)
       -> optional temperature language rebalancing (--lang-rebalance)
       -> optional C4 line/page payload rewrite (--c4-clean)
+      -> optional CCNet corpus-level paragraph-dedup payload rewrite
+         (--dedup-paragraphs)
       -> optional ExactSubstr span-cut payload rewrite (--cut-dup-spans)
 
 Usage:
@@ -149,6 +151,35 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         n_live -= summary["n_c4_dropped_docs"]
         summary["n_after_c4"] = n_live
 
+    if args.dedup_paragraphs:
+        # CCNet-style corpus-level paragraph dedup (payload rewrite):
+        # every non-canonical occurrence of a normalized paragraph
+        # across the WHOLE survivor set is removed; docs reduced to
+        # nothing (pure boilerplate) drop entirely.
+        from ..plans.driver_queries_mix import paragraph_dedup
+
+        pd = paragraph_dedup(curated)
+        stats = pd.agg(
+            F.sum("n_dup_paragraphs").alias("cut"),
+            F.sum((F.col("clean_text") == "").cast("long")).alias("emptied"),
+        ).collect()[0]
+        summary["n_dup_paragraphs_cut"] = int(stats["cut"] or 0)
+        summary["n_paragraph_emptied_docs"] = int(stats["emptied"] or 0)
+        curated = (
+            curated.drop("text", "n_chars")
+            .join(
+                pd.where(F.col("clean_text") != "").select(
+                    "doc_id", "clean_text"
+                ),
+                "doc_id",
+            )
+            .withColumn("n_chars", F.length("clean_text").cast("long"))
+            .withColumnRenamed("clean_text", "text")
+            .select(*docs.columns)
+        )
+        n_live -= summary["n_paragraph_emptied_docs"]
+        summary["n_after_paragraph_dedup"] = n_live
+
     if args.cut_dup_spans:
         # ExactSubstr CUT pass (Lee et al. 2022): the only stage that
         # REWRITES payload — survivors' text loses every
@@ -235,6 +266,14 @@ def parse_args(argv=None) -> argparse.Namespace:
         help="C4-style payload rewrite on the shipped text: keep only "
         "terminal-punctuated >= 3-word non-javascript lines; drop "
         "pages with < 5 kept lines, 'lorem ipsum', or curly braces",
+    )
+    p.add_argument(
+        "--dedup-paragraphs",
+        action="store_true",
+        help="CCNet-style payload rewrite: remove every non-canonical "
+        "occurrence of a normalized paragraph across the survivor "
+        "corpus (keep the lowest (doc_id, position) occurrence); "
+        "docs reduced to nothing drop",
     )
     p.add_argument(
         "--cut-dup-spans",

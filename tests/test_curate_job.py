@@ -443,3 +443,52 @@ def test_curate_c4_clean_rewrites_and_drops_pages(spark, tmp_path):
     # doc 12's junk lines are gone, good lines intact, n_chars refreshed
     assert got[12]["text"] == "\n".join(good)
     assert got[12]["n_chars"] == len(got[12]["text"])
+
+
+def test_curate_dedup_paragraphs_rewrites_payload(spark, tmp_path):
+    """--dedup-paragraphs: every non-canonical occurrence of a
+    normalized paragraph across the survivor corpus is removed from the
+    shipped text; a doc reduced to nothing drops entirely."""
+    import random
+
+    stop = ["the", "and", "of", "to", "in", "is"]
+    vocab = [f"word{j}" for j in range(400)]
+
+    def para(seed, n=10):
+        r = random.Random(seed)
+        ws = [r.choice(stop) if k % 3 == 0 else r.choice(vocab) for k in range(n)]
+        return " ".join(ws)
+
+    boiler = para(999)
+    rows = []
+    uniq = {}
+    for i in range(10):  # each doc: 3 unique paragraphs + shared boilerplate
+        uniq[i] = [para(i * 10 + k) for k in range(3)]
+        rows.append({"doc_id": i, "text": "\n".join(uniq[i] + [boiler])})
+    # doc 10 is ONLY boilerplate -> emptied by the dedup, drops
+    rows.append({"doc_id": 10, "text": boiler + "\n" + boiler.upper()})
+    for r in rows:
+        r.update({"lang": "en", "source": "s", "n_chars": len(r["text"])})
+    path = str(tmp_path / "pd_docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), path)
+
+    out = str(tmp_path / "pd_curated")
+    summary = run(
+        parse_args(
+            ["--input", path, "--output", out,
+             "--jaccard-min", "101", "--dedup-paragraphs"]
+        ),
+        spark,
+    )
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    # doc 0 owns the canonical boilerplate occurrence and keeps it;
+    # docs 1-9 lose it; doc 10 is emptied and drops
+    assert 10 not in got
+    assert got[0]["text"] == "\n".join(uniq[0] + [boiler])
+    for i in range(1, 10):
+        assert got[i]["text"] == "\n".join(uniq[i])
+        assert got[i]["n_chars"] == len(got[i]["text"])
+    assert summary["n_paragraph_emptied_docs"] == 1
+    # 9 survivor copies + 2 in doc 10 (the 2nd also dups the 1st)
+    assert summary["n_dup_paragraphs_cut"] == 11
+    assert summary["n_after_paragraph_dedup"] == len(got)
