@@ -10,6 +10,7 @@ Signals (all integer-exact, each also an oracle-checked query):
   lq_    language_quality     stopword-vote lang ID + quality gate
   rep_   repetition_stats     Gopher dup-line / top-bigram fractions
   gq_    gopher_quality_signals  full Gopher A1.1 document filters
+  ng_    ngram_repetition_stats  Gopher n-gram repetition fractions
   c4_    c4_line_clean        C4 line/page stats (text_clean dropped —
                               attributes only, payload stays put)
   lm_    lm_perplexity        CCNet-style bigram-LM bits
@@ -46,6 +47,7 @@ def _signal_frames() -> dict[str, Callable[[DataFrame], DataFrame]]:
         dsir_importance,
         gopher_quality_signals,
         lm_perplexity,
+        ngram_repetition_stats,
         repetition_stats,
     )
 
@@ -53,6 +55,7 @@ def _signal_frames() -> dict[str, Callable[[DataFrame], DataFrame]]:
         "lq": language_quality,
         "rep": repetition_stats,
         "gq": gopher_quality_signals,
+        "ng": ngram_repetition_stats,
         "c4": lambda d: c4_line_clean(d).drop("text_clean"),
         "lm": lm_perplexity,
         "dsir": dsir_importance,
@@ -64,6 +67,7 @@ _FLAG_COLUMNS = (
     "lq_is_quality",
     "rep_is_repetitive",
     "gq_is_gopher_bad",
+    "ng_is_ngram_repetitive",
     "c4_is_dropped",
     "lm_is_fluent",
     "dsir_is_selected",
@@ -125,8 +129,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--report", default=None, help="rollup-counts table/path")
     p.add_argument(
         "--signals",
-        default="lq,rep,gq,c4,lm,dsir",
-        help="comma list from {lq,rep,gq,c4,lm,dsir} (default: all)",
+        default="lq,rep,gq,ng,c4,lm,dsir",
+        help="comma list from {lq,rep,gq,ng,c4,lm,dsir} (default: all)",
     )
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)

@@ -56,6 +56,8 @@ def test_profile_all_signals_wide_table(spark, tmp_path):
     for col in (
         "lq_lang_guess", "lq_is_quality", "rep_dup_line_pct",
         "rep_is_repetitive", "gq_mean_word_len_milli", "gq_is_gopher_bad",
+        "ng_top2_gram_char_permille", "ng_dup5_gram_char_permille",
+        "ng_is_ngram_repetitive",
         "c4_n_kept", "c4_is_dropped", "lm_mille_bits", "lm_is_fluent",
         "dsir_weight_bits", "dsir_is_selected",
     ):
