@@ -10,6 +10,7 @@ funnel as a runnable job:
       -> optional Gopher A1.1 document-filter gate (--gopher-filter)
       -> optional CCNet-style bigram-LM perplexity gate
          (--max-mille-bits)
+      -> optional DSIR importance-weight selection (--dsir-select)
       -> optional ExactSubstr-style block-dup cut over the survivors
          (--max-dup-block-pct)
       -> optional temperature language rebalancing (--lang-rebalance)
@@ -92,6 +93,23 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         ).select("doc_id")
         prev, final = final, final.join(kept, "doc_id", "left_semi").persist()
         summary["n_after_perplexity"] = final.count()  # also the eager fill
+        prev.unpersist()
+
+    if args.dsir_select:
+        # DSIR importance selection over the survivors: hashed-n-gram
+        # importance weights against the held-in target slice; keep only
+        # docs whose weight is strictly above the survivor mean (the
+        # deterministic stand-in for DSIR's top-k resample).
+        from ..plans.driver_queries_quality import dsir_importance
+
+        surv_docs = docs.join(final, "doc_id", "left_semi")
+        kept = (
+            dsir_importance(surv_docs)
+            .where(F.col("is_selected"))
+            .select("doc_id")
+        )
+        prev, final = final, final.join(kept, "doc_id", "left_semi").persist()
+        summary["n_after_dsir"] = final.count()  # also the eager fill
         prev.unpersist()
 
     if args.max_dup_block_pct is not None:
@@ -251,6 +269,13 @@ def parse_args(argv=None) -> argparse.Namespace:
         "bigram-LM average exceeds this many mille-bits/bigram "
         "(LM trained on the survivors' doc_id%%10==1 slice; 5000 "
         "is the lm_perplexity head-split default)",
+    )
+    p.add_argument(
+        "--dsir-select",
+        action="store_true",
+        help="DSIR stage: keep only survivor docs whose hashed-n-gram "
+        "importance weight (vs the doc_id%%10==1 target slice) is "
+        "strictly above the survivor mean",
     )
     p.add_argument(
         "--max-dup-block-pct",

@@ -492,3 +492,38 @@ def test_curate_dedup_paragraphs_rewrites_payload(spark, tmp_path):
     # 9 survivor copies + 2 in doc 10 (the 2nd also dups the 1st)
     assert summary["n_dup_paragraphs_cut"] == 11
     assert summary["n_after_paragraph_dedup"] == len(got)
+
+
+def test_curate_dsir_select_stage(spark, tmp_path):
+    """--dsir-select keeps exactly the survivor docs the standalone
+    dsir_importance frame marks is_selected (computed over the same
+    survivor set)."""
+    from coa_ocr_simple_spark.plans.driver_queries_quality import (
+        dsir_importance,
+    )
+
+    path = _corpus(tmp_path)
+    out = str(tmp_path / "dsir_curated")
+    summary = run(
+        parse_args(
+            ["--input", path, "--output", out,
+             "--jaccard-min", "101", "--dsir-select"]
+        ),
+        spark,
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # recompute the expectation over the same pre-DSIR survivor set:
+    # quality gate + exact dedup survivors (jaccard 101 disables neardup)
+    docs = spark.read.parquet(path)
+    pre = sorted(
+        set(range(20)) | {25, 26, 27}
+    )  # quality docs + near-dup variants; exact dups 20-24 lose to doc 0
+    surv = docs.where(F.col("doc_id").isin(pre))
+    want = {
+        r["doc_id"]
+        for r in dsir_importance(surv).collect()
+        if r["is_selected"]
+    }
+    assert got == want
+    assert summary["n_after_dsir"] == len(want)
+    assert 0 < len(want) < len(pre)  # a strict-mean split is non-trivial
