@@ -116,3 +116,51 @@ def test_keep_policy_prefers_centroid_outlier(spark):
     # the centroid vector itself is also cos-1.0 to vec 10: of that
     # pair the one with lower centroid-sim key survives per the rule
     assert got[10][1] >= 1 and got[11][1] >= 1
+
+
+def test_semdedup_job_writes_verdicts_and_pruned(spark, tmp_path):
+    """jobs/semdedup.py end to end: verdict control table + pruned
+    payload agree with the standalone frame; re-run overwrites."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coa_ocr_simple_spark.jobs.semdedup import parse_args, run
+
+    rng = random.Random(67)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(DIM)] for i in range(150)}
+    for j, src in enumerate((2, 5, 5, 40)):
+        vecs[160 + j] = [x + rng.uniform(-0.01, 0.01) for x in vecs[src]]
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"vec_id": i, "embedding": [float(x) for x in v]}
+                for i, v in sorted(vecs.items())
+            ],
+            schema=pa.schema(
+                [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+            ),
+        ),
+        path,
+    )
+    verd = str(tmp_path / "verdicts")
+    pruned = str(tmp_path / "pruned")
+    args = parse_args(
+        ["--input", path, "--verdicts", verd, "--pruned", pruned]
+    )
+    summary = run(args, spark)
+    want = _ref(vecs)
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["n_similar"], r["is_semdup_dropped"])
+        for r in spark.read.parquet(verd).collect()
+    }
+    assert got == want
+    n_drop = sum(d for _, _, d in want.values())
+    assert summary["n_dropped"] == n_drop > 0
+    kept_ids = {r["vec_id"] for r in spark.read.parquet(pruned).collect()}
+    assert kept_ids == {i for i, (_, _, d) in want.items() if d == 0}
+    assert summary["n_pruned_rows"] == len(kept_ids)
+    # re-run: overwrite semantics, no row accumulation
+    summary2 = run(args, spark)
+    assert summary2 == summary
+    assert spark.read.parquet(verd).count() == len(want)
