@@ -817,6 +817,28 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # boilerplate-paragraph killer CCNet actually ships.
 
 
+def paragraph_occurrences(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, line, h): every non-empty paragraph of every doc
+    with its normalized-content md5, in document order.  Pure stateless
+    per-row ops + one explode — safe for BOTH batch and streaming
+    inputs (streaming/paragraph_dedup_stream.py consumes it with a
+    dropDuplicates instead of the batch aggs)."""
+    raw = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "raw")
+    )
+    norm = F.regexp_replace(F.lower(F.trim("raw")), r"\s+", " ")
+    return (
+        raw.select(
+            "doc_id",
+            "pos",
+            F.trim("raw").alias("line"),
+            norm.alias("nrm"),
+        )
+        .where(F.col("nrm") != "")
+        .select("doc_id", "pos", "line", F.md5("nrm").alias("h"))
+    )
+
+
 def paragraph_dedup(docs: DataFrame) -> DataFrame:
     """(doc_id, n_paragraphs, n_dup_paragraphs, clean_text): corpus-wide
     paragraph dedup with reassembled surviving text.
@@ -829,20 +851,8 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
     each line still matches exactly one agg row so there is no pair
     fan-out).  Reassembly is a per-doc sort of surviving paragraphs —
     bounded by document length, never cross-doc."""
-    raw = docs.select(
-        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "raw")
-    )
-    norm = F.regexp_replace(F.lower(F.trim("raw")), r"\s+", " ")
-    lines = (
-        raw.select(
-            "doc_id",
-            "pos",
-            F.trim("raw").alias("line"),
-            norm.alias("nrm"),
-        )
-        .where(F.col("nrm") != "")
-        .select("doc_id", "pos", "line", F.md5("nrm").alias("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)  # 4 consumers: 2 aggs, join, counts
+    lines = paragraph_occurrences(docs).persist(
+        StorageLevel.MEMORY_AND_DISK  # 4 consumers: 2 aggs, join, counts
     )
     first_doc = lines.groupBy("h").agg(F.min("doc_id").alias("d0"))
     first_pos = lines.groupBy("h", "doc_id").agg(F.min("pos").alias("p0"))

@@ -251,3 +251,54 @@ def test_streaming_block_dedup_suppresses_across_restarts(spark, tmp_path):
     assert len(final) == 4
     new = [r for r in final if r["doc_id"] == 2]
     assert len(new) == 1 and new[0]["block_idx"] == 1  # D, not the seen C
+
+
+def test_streaming_paragraph_dedup_suppresses_across_restarts(spark, tmp_path):
+    """Streaming CCNet paragraph dedup: each distinct normalized
+    paragraph is emitted once corpus-wide; a restarted job (same
+    checkpoint) keeps suppressing paragraphs it already emitted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coa_ocr_simple_spark.streaming.paragraph_dedup_stream import (
+        run_streaming_paragraph_dedup,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        pq.write_table(
+            pa.Table.from_pylist(
+                [
+                    {"doc_id": i, "text": t, "lang": "en", "source": "s",
+                     "n_chars": len(t)}
+                    for i, t in rows
+                ]
+            ),
+            str(inp / name),
+        )
+
+    # run 1: the boilerplate paragraph repeats (case/space-normalized)
+    write_batch(
+        "b1.parquet",
+        [
+            (0, "unique alpha\nshared boilerplate\n\n"),
+            (1, "SHARED   boilerplate\nunique beta"),
+        ],
+    )
+    run_streaming_paragraph_dedup(spark, str(inp), out, ckpt)
+    first = spark.read.parquet(out)
+    assert first.count() == 3  # alpha, boilerplate (once), beta
+    assert first.select("h").distinct().count() == 3
+
+    # run 2 (restart, same checkpoint): one seen + one new paragraph
+    write_batch("b2.parquet", [(2, "shared boilerplate\nunique gamma")])
+    run_streaming_paragraph_dedup(spark, str(inp), out, ckpt)
+    final = spark.read.parquet(out).collect()
+    assert len(final) == 4
+    new = [r for r in final if r["doc_id"] == 2]
+    assert len(new) == 1 and new[0]["line"] == "unique gamma"
+    assert new[0]["pos"] == 1
