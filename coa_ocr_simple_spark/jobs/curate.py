@@ -61,6 +61,22 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         "near_dup_policy": "cluster_reps" if args.cluster_reps else "pair_loser",
     }
 
+    def _stage(prev, new_final, key):
+        """Advance the survivor set past one optional stage with an
+        EAGER lineage cut.  Every stage references the prior survivor
+        set twice (the payload semi-join feeding the signal AND the
+        survivor-set join), so chained stage plans compound 2^stages —
+        measured: four enabled stages OOMed a 4 GiB driver before any
+        task ran, just building the analyzed plan.  localCheckpoint
+        materializes the (tiny, doc_id-only) set in executor storage
+        like persist() but TRUNCATES the logical plan — the same cut
+        connected_components uses per pointer-jumping round.  A run
+        that must survive executor loss swaps in checkpoint(dir)."""
+        out = new_final.localCheckpoint()  # eager by default
+        summary[key] = out.count()
+        prev.unpersist()
+        return out
+
     if args.gopher_filter:
         # Gopher Appendix-A1.1 document filters over the survivors
         # (mean word length, symbol ratio, bullet/ellipsis lines,
@@ -74,9 +90,9 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
             .where(F.col("is_gopher_bad") == 1)
             .select("doc_id")
         )
-        prev, final = final, final.join(bad, "doc_id", "left_anti").persist()
-        summary["n_after_gopher"] = final.count()  # also the eager fill
-        prev.unpersist()
+        final = _stage(
+            final, final.join(bad, "doc_id", "left_anti"), "n_after_gopher"
+        )
 
     if args.max_mille_bits is not None:
         # CCNet-style perplexity gate over the survivors: a bigram LM
@@ -91,9 +107,9 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
             (F.col("n_bigrams") > 0)
             & (F.col("mille_bits") <= args.max_mille_bits)
         ).select("doc_id")
-        prev, final = final, final.join(kept, "doc_id", "left_semi").persist()
-        summary["n_after_perplexity"] = final.count()  # also the eager fill
-        prev.unpersist()
+        final = _stage(
+            final, final.join(kept, "doc_id", "left_semi"), "n_after_perplexity"
+        )
 
     if args.dsir_select:
         # DSIR importance selection over the survivors: hashed-n-gram
@@ -108,9 +124,9 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
             .where(F.col("is_selected"))
             .select("doc_id")
         )
-        prev, final = final, final.join(kept, "doc_id", "left_semi").persist()
-        summary["n_after_dsir"] = final.count()  # also the eager fill
-        prev.unpersist()
+        final = _stage(
+            final, final.join(kept, "doc_id", "left_semi"), "n_after_dsir"
+        )
 
     if args.max_dup_block_pct is not None:
         # ExactSubstr-style pass over the SURVIVORS (post-dedup, where it
@@ -126,9 +142,9 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
             F.floor(F.col("n_drop_blocks") * 100 / F.col("n_blocks"))
             > args.max_dup_block_pct
         ).select("doc_id")
-        prev, final = final, final.join(bad, "doc_id", "left_anti").persist()
-        summary["n_after_block_dedup"] = final.count()  # also the eager fill
-        prev.unpersist()  # superseded frame would stay pinned for the job
+        final = _stage(
+            final, final.join(bad, "doc_id", "left_anti"), "n_after_block_dedup"
+        )
 
     if args.lang_rebalance:
         # temperature (alpha=0.5) language rebalancing of the survivors —
@@ -140,14 +156,31 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         kept = lang_mixture_sample(surv_docs, alpha=args.lang_alpha).select(
             "doc_id"
         )
-        prev, final = final, final.join(kept, "doc_id", "left_semi").persist()
-        summary["n_after_lang_rebalance"] = final.count()
-        prev.unpersist()
+        final = _stage(
+            final,
+            final.join(kept, "doc_id", "left_semi"),
+            "n_after_lang_rebalance",
+        )
 
     curated = docs.join(final, "doc_id", "left_semi")
     n_live = final.count()  # running count across payload-rewrite stages
 
+    n_rewrites = sum(
+        [bool(args.c4_clean), bool(args.dedup_paragraphs),
+         bool(args.cut_dup_spans)]
+    )
+
+    def _cut(df):
+        """Lineage barrier between payload rewrites: each rewrite
+        consumes `curated` on TWO branches (the signal frame and the
+        join-back) with no cross-branch CSE, so k chained rewrites are
+        2^k recompute + plan growth without a cut.  Only pays when a
+        second rewrite follows — a single rewrite just double-scans the
+        parquet, which is cheaper than materializing the payload."""
+        return df.localCheckpoint() if n_rewrites >= 2 else df
+
     if args.c4_clean:
+        curated = _cut(curated)
         # C4 line/page cleaning (Raffel et al. 2020 s2.2): payload
         # rewrite — survivors keep only terminal-punctuated >= 3-word
         # non-javascript lines; pages with < 5 kept lines, lorem ipsum,
@@ -170,6 +203,7 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         summary["n_after_c4"] = n_live
 
     if args.dedup_paragraphs:
+        curated = _cut(curated)
         # CCNet-style corpus-level paragraph dedup (payload rewrite):
         # every non-canonical occurrence of a normalized paragraph
         # across the WHOLE survivor set is removed; docs reduced to
@@ -199,6 +233,7 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         summary["n_after_paragraph_dedup"] = n_live
 
     if args.cut_dup_spans:
+        curated = _cut(curated)
         # ExactSubstr CUT pass (Lee et al. 2022): the only stage that
         # REWRITES payload — survivors' text loses every
         # corpus-duplicated >= w-token span (keep-first), fully-cut

@@ -527,3 +527,72 @@ def test_curate_dsir_select_stage(spark, tmp_path):
     assert got == want
     assert summary["n_after_dsir"] == len(want)
     assert 0 < len(want) < len(pre)  # a strict-mean split is non-trivial
+
+
+def test_curate_all_stages_compose(spark, tmp_path):
+    """Every optional stage enabled at once: the funnel completes, the
+    stage counts are monotone non-increasing in funnel order, and the
+    shipped rows keep the input schema with n_chars tracking the
+    (rewritten) text."""
+    import random
+
+    rng = random.Random(101)
+    stop = ["the", "and", "of", "to", "in", "is"]
+    vocab = [f"word{j}" for j in range(600)]
+
+    def line(seed, n=9):
+        r = random.Random(seed)
+        ws = [r.choice(stop) if k % 3 == 0 else r.choice(vocab) for k in range(n)]
+        return " ".join(ws) + "."
+
+    rows = []
+    for i in range(30):
+        lang = "en" if i % 3 else "de"
+        rows.append(
+            {"doc_id": i,
+             "text": "\n".join(line(i * 31 + k) for k in range(7)),
+             "lang": lang}
+        )
+    for i in range(30, 33):  # exact dups of doc 0
+        rows.append({"doc_id": i, "text": rows[0]["text"], "lang": "en"})
+    for r in rows:
+        r.update({"source": "s", "n_chars": len(r["text"])})
+    path = str(tmp_path / "all_docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), path)
+
+    spark.catalog.clearCache()  # the all-stages chain is the heap hog
+    out = str(tmp_path / "all_curated")
+    report = str(tmp_path / "all_report")
+    summary = run(
+        parse_args(
+            ["--input", path, "--output", out, "--report", report,
+             "--gopher-filter", "--max-mille-bits", "30000",
+             "--dsir-select", "--max-dup-block-pct", "90",
+             "--lang-rebalance", "--c4-clean", "--dedup-paragraphs",
+             "--cut-dup-spans"]
+        ),
+        spark,
+    )
+    order = [
+        "n_total", "n_quality", "n_after_exact_dedup", "n_curated",
+        "n_after_gopher", "n_after_perplexity", "n_after_dsir",
+        "n_after_block_dedup", "n_after_lang_rebalance", "n_after_c4",
+        "n_after_paragraph_dedup", "n_after_span_cut",
+    ]
+    # n_curated is recomputed after the doc-set stages; check the
+    # doc-count funnel is monotone in the order the stages ran
+    seq = [summary[k] for k in order if k in summary and k != "n_curated"]
+    assert all(a >= b for a, b in zip(seq, seq[1:])), summary
+    got = spark.read.parquet(out)
+    docs_cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    assert sorted(got.columns) == sorted(docs_cols)
+    final_rows = got.collect()
+    assert len(final_rows) == summary["n_after_span_cut"] > 0
+    for r in final_rows:
+        assert r["text"] != "" and r["n_chars"] == len(r["text"])
+    # the report table carries every stage count
+    rep = {r["stage"]: r["n_docs"]
+           for r in spark.read.parquet(report).collect()}
+    for k in order:
+        if k in summary:
+            assert rep[k] == summary[k]
