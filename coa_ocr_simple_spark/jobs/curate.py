@@ -7,6 +7,8 @@ funnel as a runnable job:
          exact n-gram Jaccard >= threshold drops the larger doc_id; or,
          with --cluster-reps, keeps one representative per connected
          component of the pair graph)
+      -> optional Naive-Bayes quality-classifier gate (--nb-quality,
+         trained on the survivors' own Gopher-labeled held-in slice)
       -> optional Gopher A1.1 document-filter gate (--gopher-filter)
       -> optional CCNet-style bigram-LM perplexity gate
          (--max-mille-bits)
@@ -76,6 +78,37 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         summary[key] = out.count()
         prev.unpersist()
         return out
+
+    if args.nb_quality:
+        # Model-based quality gate (the GPT-3/LLaMA classifier family):
+        # a hashed-feature Naive-Bayes classifier is trained on the
+        # survivors' own doc_id % 10 == 2 slice labeled by the Gopher
+        # verdict, then scores every survivor.  Runs BEFORE the
+        # --gopher-filter stage so the training labels still carry
+        # both classes; if the slice labels are one-class the verdict
+        # skews all-positive (graceful no-op, documented in --help).
+        from ..plans.driver_queries_quality import (
+            _NB_TRAIN_MOD,
+            gopher_quality_signals,
+            nb_classifier_verdicts,
+        )
+
+        surv_docs = docs.join(final, "doc_id", "left_semi")
+        train = surv_docs.where(F.col("doc_id") % 10 == _NB_TRAIN_MOD)
+        lab = gopher_quality_signals(train).select(
+            "doc_id",
+            (F.col("is_gopher_bad") == 0).cast("long").alias("is_pos"),
+        )
+        kept = (
+            nb_classifier_verdicts(surv_docs, train, lab)
+            .where(F.col("is_quality"))
+            .select("doc_id")
+        )
+        final = _stage(
+            final,
+            final.join(kept, "doc_id", "left_semi"),
+            "n_after_nb_quality",
+        )
 
     if args.gopher_filter:
         # Gopher Appendix-A1.1 document filters over the survivors
@@ -287,6 +320,16 @@ def parse_args(argv=None) -> argparse.Namespace:
         "component instead of dropping doc_b of every pair — the "
         "group-level dedup policy (connected components over the "
         ">= threshold Jaccard pair graph)",
+    )
+    p.add_argument(
+        "--nb-quality",
+        action="store_true",
+        help="model-based quality gate: train a hashed-feature "
+        "Naive-Bayes classifier on the survivors' doc_id%%10==2 "
+        "slice labeled by the Gopher verdict, keep docs the "
+        "classifier scores above the train-calibrated threshold; "
+        "runs before --gopher-filter (so training labels carry both "
+        "classes); with one-class labels the stage keeps everything",
     )
     p.add_argument(
         "--gopher-filter",

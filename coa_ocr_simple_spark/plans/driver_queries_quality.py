@@ -353,12 +353,17 @@ def q_gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_signals(_docs(spark, sf_dir))
 
 
-_GOPHER_SQL = f"""
-WITH ln0 AS (
+# The Gopher CTE chain and badness predicate are factored out so the
+# NB quality classifier's oracle can derive its training labels from
+# the exact same SQL (nb_quality_classifier below distills these
+# heuristics into a cheap hashed-feature classifier), parameterized by
+# source table because the classifier runs on a synthesized corpus.
+def _gopher_ctes(src: str = "documents") -> str:
+    return f"""ln0 AS (
   SELECT doc_id,
          list_filter(list_transform(string_split(text, chr(10)), l -> TRIM(l)),
                      l -> l != '') AS ls
-  FROM documents
+  FROM {src}
 ), ln AS (
   SELECT doc_id, UNNEST(ls) AS l FROM ln0
 ), per_line AS (
@@ -383,7 +388,7 @@ WITH ln0 AS (
          CAST((length(text) - length(replace(text, '#', '')))
             + (length(text) - length(replace(text, '...', ''))) // 3
             + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS sym
-  FROM documents
+  FROM {src}
 ), sig AS (
   SELECT w.doc_id,
          COALESCE(l.n_lines, 0) AS n_lines,
@@ -401,14 +406,22 @@ WITH ln0 AS (
          END AS bullet_line_pct,
          CAST(FLOOR(w.n_alpha * 100.0 / w.n_words) AS BIGINT) AS alpha_word_pct
   FROM words w LEFT JOIN linestats l USING (doc_id)
-)
-SELECT *,
-       CAST(CASE WHEN mean_word_len_milli < {_GQ_MWL_MIN_MILLI}
+)"""
+
+
+_GOPHER_CTES = _gopher_ctes()
+
+_GOPHER_BAD_COND = f"""mean_word_len_milli < {_GQ_MWL_MIN_MILLI}
                    OR mean_word_len_milli > {_GQ_MWL_MAX_MILLI}
                    OR symbol_word_permille > {_GQ_SYM_MAX_PERMILLE}
                    OR bullet_line_pct > {_GQ_BULLET_MAX_PCT}
                    OR ellipsis_line_pct > {_GQ_ELLIPSIS_MAX_PCT}
-                   OR alpha_word_pct < {_GQ_ALPHA_MIN_PCT}
+                   OR alpha_word_pct < {_GQ_ALPHA_MIN_PCT}"""
+
+_GOPHER_SQL = f"""
+WITH {_GOPHER_CTES}
+SELECT *,
+       CAST(CASE WHEN {_GOPHER_BAD_COND}
                  THEN 1 ELSE 0 END AS BIGINT) AS is_gopher_bad
 FROM sig
 """
@@ -1071,8 +1084,9 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity(_docs(spark, sf_dir))
 
 
-_LM_SQL = f"""
-WITH toks AS (
+# CTE chain factored out (like _GOPHER_CTES) so the NB quality
+# classifier's oracle can derive its fluency labels from the same SQL.
+_LM_CTES = f"""toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(TRIM(text)), '\\s+'),
                      x -> x != '') AS t
@@ -1093,7 +1107,10 @@ WITH toks AS (
 ), per_doc AS (
   SELECT doc_id, COUNT(*) AS n_bigrams, SUM(bits) AS total_bits
   FROM scored GROUP BY doc_id
-)
+)"""
+
+_LM_SQL = f"""
+WITH {_LM_CTES}
 SELECT d.doc_id,
        CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        CAST(COALESCE(p.total_bits, 0) AS BIGINT) AS total_bits,
@@ -1583,6 +1600,276 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id), thresh t
 """
 
 
+# --- Naive-Bayes quality classifier (distilled from Gopher labels) ------------------------
+
+# Model-based quality filtering — the fourth standard corpus-quality
+# family next to heuristics (gopher_quality_signals), LM perplexity
+# (lm_perplexity) and importance weighting (dsir_importance): GPT-3
+# (Brown et al. 2020, App. A) and LLaMA both gate web text with a cheap
+# linear classifier trained on a labeled reference set.  Here the
+# labels are DISTILLED from the (expensive, many-signal) Gopher
+# heuristic on a held-in slice — the standard production pattern: run
+# the costly signal once on a sample, train a cheap model, score the
+# whole corpus with one broadcast join.
+#
+# The generic documents table is uniformly clean filler prose (zero
+# gopher-bad docs at every SF — measured), which would make any
+# distilled label degenerate, so quality variation is synthesized
+# IN-QUERY (the driver_queries_core._VARIANTS pattern): every
+# doc_id % _NB_SPAM_MOD == _NB_SPAM_RES doc gains a symbol-spam
+# suffix proportional to its length, evaluated identically in Spark
+# and DuckDB.  The spam trips the Gopher symbol filter at any doc size
+# (sym ~= 4 spam-chars per spam token -> symbol_word_permille ~900
+# >> the 100 gate), so labels are non-degenerate and the classifier's
+# held-out discrimination is real and testable.
+_NB_TRAIN_MOD = 2  # labeled slice doc_id % 10 == 2 (LM/DSIR use slice 1)
+_NB_SPAM_MOD = 4  # 1 in 4 docs degraded (corpus-wide ~75/25 clean/spam)
+# residue 2, NOT 3: the train slice doc_id % 10 == 2 is all-even, so an
+# odd spam residue would intersect it NOWHERE (zero negative training
+# examples — measured, the degenerate first cut); residue 2 meets the
+# slice at doc_id % 20 == 2, i.e. a 50/50 label split inside the slice
+_NB_SPAM_RES = 2
+_NB_SPAM = " ###..."  # 4 symbol chars per token under the Gopher counter
+
+
+def _nb_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text): the synthesized evaluation corpus — documents
+    with every doc_id % _NB_SPAM_MOD == _NB_SPAM_RES doc degraded
+    by n_chars DIV 20 spam tokens (length-proportional, so the spam
+    mass dominates regardless of doc size; DIV/// truncation is the
+    verified cross-engine recipe)."""
+    spam = F.expr(f"repeat('{_NB_SPAM}', CAST(n_chars DIV 20 AS INT))")
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _NB_SPAM_MOD == _NB_SPAM_RES,
+            F.concat(F.col("text"), spam),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def nb_quality_classifier(docs: DataFrame) -> DataFrame:
+    """Per-doc Naive-Bayes quality log-likelihood-ratio + verdict over
+    the synthesized corpus (_nb_docs).
+
+    Training: the doc_id % 10 == _NB_TRAIN_MOD slice is labeled by the
+    Gopher composite verdict (pos = not gopher-bad — the classifier
+    never sees doc_id, only hashed text features).  The math and scale
+    shape live in nb_classifier_verdicts (shared with the curate job's
+    --nb-quality stage)."""
+    nbd = _nb_docs(docs)
+    train = nbd.where(F.col("doc_id") % 10 == _NB_TRAIN_MOD)
+    lab = gopher_quality_signals(train).select(
+        "doc_id",
+        (F.col("is_gopher_bad") == 0).cast("long").alias("is_pos"),
+    )
+    return nb_classifier_verdicts(nbd, train, lab)
+
+
+def nb_classifier_verdicts(
+    docs: DataFrame, train: DataFrame, lab: DataFrame
+) -> DataFrame:
+    """Train a hashed-feature Naive-Bayes classifier on ``train``
+    (doc_id, text) with labels ``lab`` (doc_id, is_pos in {0, 1}) and
+    score every (doc_id, text) row of ``docs``; returns (doc_id,
+    n_grams, llr_bits, mille_llr, is_quality).
+
+    Features are the DSIR hashed unigram+bigram buckets
+    (_dsir_gram_rows — one shared tokenization contract).  Per bucket b
+    and class c the multinomial NB term -log2 P(b|c) with add-one
+    smoothing is the integer-exact floor-log2 recipe
+    (blen((S_c + B) * 1024 DIV (c_c + 1)) - 10); a gram's llr is the
+    neg-cost minus pos-cost, so both floors point the same way and the
+    quantization bias largely cancels in the difference.  Unseen
+    buckets (in neither class) degenerate to the class-size constant,
+    folded in via COALESCE.  Verdict: llr_bits above a decision
+    threshold CALIBRATED ON THE TRAIN SLICE (midpoint of the
+    class-mean scores — see the inline comment; plain equal-prior
+    llr > 0 measured sign-fragile across SFs).  One-class label sets
+    degrade gracefully: threshold falls back to 0 and verdicts skew
+    all-positive (documented in the curate CLI).
+
+    Scale shape: label pass + count pass run over the (tiny) train
+    slice only; the <= B-row score table persists and broadcasts into
+    the scoring join; scoring is ONE corpus gram explode -> broadcast
+    equi-join -> map-side-combinable per-doc agg.  The gram explode is
+    recomputed rather than persisted (the DSIR/lm trade: re-scan beats
+    materializing the exploded corpus at 100 TB)."""
+    B = _DSIR_BUCKETS
+    bc = (
+        _dsir_gram_rows(train)
+        .join(lab, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_pos").alias("c_pos"),
+            F.sum(F.lit(1) - F.col("is_pos")).alias("c_neg"),
+        )
+    )
+    tot = bc.agg(
+        F.sum("c_pos").alias("s_pos"), F.sum("c_neg").alias("s_neg")
+    )
+    score = (
+        bc.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "bucket",
+            f"CAST((LENGTH(BIN(((s_neg + {B}) * 1024) DIV (c_neg + 1))) - 11)"
+            f" - (LENGTH(BIN(((s_pos + {B}) * 1024) DIV (c_pos + 1))) - 11)"
+            " AS BIGINT) AS bits",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    score.count()  # eager fill: <= B rows, feeds the broadcast scoring join
+    un = tot.selectExpr(
+        f"CAST((LENGTH(BIN((s_neg + {B}) * 1024)) - 11)"
+        f" - (LENGTH(BIN((s_pos + {B}) * 1024)) - 11) AS BIGINT)"
+        " AS unseen_bits"
+    )
+    def _llr_per_doc(d: DataFrame) -> DataFrame:
+        return (
+            _dsir_gram_rows(d)
+            .join(F.broadcast(score), "bucket", "left")
+            .crossJoin(F.broadcast(un))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(
+                    F.coalesce(F.col("bits"), F.col("unseen_bits"))
+                ).alias("llr_bits"),
+            )
+        )
+
+    # Trained decision threshold: the equal-prior llr > 0 rule is
+    # sign-fragile (the per-gram floor bias shifts with corpus stats —
+    # measured: correct at sf0.001/sf0.1, inverted at sf0.01), so the
+    # threshold is CALIBRATED ON THE TRAIN SLICE as the midpoint of the
+    # two class means: is_quality = 2*llr > mean_pos + mean_neg.  Means
+    # use truncating DIV (<= 1 bit shift, negligible vs the cluster
+    # gap) instead of exact cross-multiplication, whose n_pos*n_neg*llr
+    # products overflow BIGINT at real corpus scale.  Empty-class
+    # fallback: threshold 0 (the equal-prior rule).  This re-explodes
+    # the train slice's grams (~10 % extra scoring work) instead of
+    # persisting the corpus-sized per-doc frame for a second consumer.
+    thr = (
+        _llr_per_doc(train)
+        .join(lab, "doc_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("is_pos") == 1, F.col("llr_bits"))),
+                F.lit(0),
+            ).alias("sp"),
+            F.sum(F.col("is_pos")).alias("np"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_pos") == 0, F.col("llr_bits"))),
+                F.lit(0),
+            ).alias("sn"),
+            F.sum(F.lit(1) - F.col("is_pos")).alias("nn"),
+        )
+        .selectExpr(
+            "CAST(CASE WHEN np = 0 OR nn = 0 THEN 0"
+            " ELSE (sp DIV np) + (sn DIV nn) END AS BIGINT) AS thr2"
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(_llr_per_doc(docs), "doc_id", "left")
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("llr_bits", F.lit(0)).cast("long").alias("llr_bits"),
+            # truncating DIV == DuckDB // (the Lloyd recipe, negative-safe)
+            F.coalesce(
+                F.expr("llr_bits * 1000 DIV n_grams"), F.lit(0)
+            ).cast("long").alias("mille_llr"),
+            F.coalesce(
+                F.col("llr_bits") * 2 > F.col("thr2"), F.lit(False)
+            ).alias("is_quality"),
+        )
+    )
+
+
+def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nb_quality_classifier(_docs(spark, sf_dir))
+
+
+# label CTEs reuse the factored Gopher chain (sig), pointed at the
+# synthesized nbdocs corpus.
+_NB_SQL = f"""
+WITH nbdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_NB_SPAM_MOD} = {_NB_SPAM_RES}
+              THEN text || repeat('{_NB_SPAM}', CAST(n_chars // 20 AS INT))
+              ELSE text END AS text
+  FROM documents
+),
+{_gopher_ctes('nbdocs')},
+lab AS (
+  SELECT doc_id,
+         CASE WHEN {_GOPHER_BAD_COND} THEN 0 ELSE 1 END AS is_pos
+  FROM sig WHERE doc_id % 10 = {_NB_TRAIN_MOD}
+), toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(TRIM(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM nbdocs
+), gr AS (
+  SELECT doc_id, UNNEST(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, t[i + 1] || ' ' || t[i + 2] AS g
+  FROM toks, unnest(range(0, len(t) - 1)) AS r(i)
+), grams AS (
+  SELECT doc_id, {_md5_prefix_sql("md5(g)")} % {_DSIR_BUCKETS} AS bucket
+  FROM gr
+), bc AS (
+  SELECT bucket,
+         CAST(SUM(is_pos) AS BIGINT) AS c_pos,
+         CAST(SUM(1 - is_pos) AS BIGINT) AS c_neg
+  FROM grams JOIN lab USING (doc_id) GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(c_pos) AS BIGINT) AS s_pos,
+         CAST(SUM(c_neg) AS BIGINT) AS s_neg
+  FROM bc
+), score AS (
+  SELECT bucket,
+         CAST((LENGTH(bin(((s_neg + {_DSIR_BUCKETS}) * 1024) // (c_neg + 1))) - 11)
+            - (LENGTH(bin(((s_pos + {_DSIR_BUCKETS}) * 1024) // (c_pos + 1))) - 11)
+              AS BIGINT) AS bits
+  FROM bc, tot
+), un AS (
+  SELECT CAST((LENGTH(bin((s_neg + {_DSIR_BUCKETS}) * 1024)) - 11)
+            - (LENGTH(bin((s_pos + {_DSIR_BUCKETS}) * 1024)) - 11) AS BIGINT)
+           AS unseen_bits
+  FROM tot
+), nb_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(COALESCE(s.bits, u.unseen_bits)) AS BIGINT) AS llr_bits
+  FROM grams g LEFT JOIN score s USING (bucket), un u
+  GROUP BY doc_id
+), thr AS (
+  SELECT CAST(CASE WHEN np = 0 OR nn = 0 THEN 0
+              ELSE (sp // np) + (sn // nn) END AS BIGINT) AS thr2
+  FROM (
+    SELECT CAST(COALESCE(SUM(CASE WHEN is_pos = 1
+                              THEN llr_bits END), 0) AS BIGINT) AS sp,
+           CAST(SUM(is_pos) AS BIGINT) AS np,
+           CAST(COALESCE(SUM(CASE WHEN is_pos = 0
+                              THEN llr_bits END), 0) AS BIGINT) AS sn,
+           CAST(SUM(1 - is_pos) AS BIGINT) AS nn
+    FROM nb_doc JOIN lab USING (doc_id)
+  )
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.llr_bits, 0) AS BIGINT) AS llr_bits,
+       CAST(COALESCE(p.llr_bits * 1000 // p.n_grams, 0) AS BIGINT) AS mille_llr,
+       COALESCE(p.llr_bits * 2 > t.thr2, FALSE) AS is_quality
+FROM documents d LEFT JOIN nb_doc p USING (doc_id), thr t
+"""
+
+
 QUERIES_QUALITY = {
     "repetition_stats": q_repetition_stats,
     "gram_decontamination": q_gram_decontamination,
@@ -1613,6 +1900,7 @@ EXTRA_QUERIES_QUALITY = {
     "dsir_importance_weights": q_dsir_importance,
     "c4_line_filter": q_c4_line_filter,
     "ngram_repetition_stats": q_ngram_repetition_stats,
+    "nb_quality_classifier": q_nb_quality_classifier,
 }
 EXTRA_ORACLES_QUALITY = {
     "sequence_packing": _PACKING_SQL,
@@ -1620,4 +1908,5 @@ EXTRA_ORACLES_QUALITY = {
     "dsir_importance_weights": _DSIR_SQL,
     "c4_line_filter": _C4_SQL,
     "ngram_repetition_stats": _ngram_repetition_sql(),
+    "nb_quality_classifier": _NB_SQL,
 }

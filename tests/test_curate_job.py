@@ -529,6 +529,52 @@ def test_curate_dsir_select_stage(spark, tmp_path):
     assert 0 < len(want) < len(pre)  # a strict-mean split is non-trivial
 
 
+def test_curate_nb_quality_stage(spark, tmp_path):
+    """--nb-quality: the NB classifier trains on the survivors'
+    doc_id%10==2 slice (Gopher-labeled — the symbol-spam docs are the
+    negative class) and its verdicts drop exactly the spam docs from
+    the held-out survivors too."""
+    rng = random.Random(31)
+    stop = ["the", "and", "of", "to", "in", "is"]
+    vocab = [f"word{j}" for j in range(400)]
+    rows = []
+    for i in range(60):
+        words = [
+            rng.choice(stop) if k % 4 == 0 else rng.choice(vocab)
+            for k in range(60)
+        ]
+        text = " ".join(words)
+        if i % 4 == 2:  # spam docs; residue 2 intersects the %10==2
+            text += " ###..." * 30  # train slice (3 spam / 3 clean)
+        rows.append({"doc_id": i, "text": text})
+    for r in rows:
+        r.update({"lang": "en", "source": "s", "n_chars": len(r["text"])})
+    path = str(tmp_path / "nb_docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), path)
+
+    out = str(tmp_path / "nb_on")
+    summary = run(
+        parse_args(
+            ["--input", path, "--output", out,
+             "--jaccard-min", "101",  # disable near-dup for isolation
+             "--nb-quality"]
+        ),
+        spark,
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {i for i in range(60) if i % 4 != 2}
+    assert summary["n_after_nb_quality"] == 45
+
+    out_off = str(tmp_path / "nb_off")
+    run(
+        parse_args(
+            ["--input", path, "--output", out_off, "--jaccard-min", "101"]
+        ),
+        spark,
+    )
+    assert spark.read.parquet(out_off).count() == 60  # spam ships w/o flag
+
+
 def test_curate_all_stages_compose(spark, tmp_path):
     """Every optional stage enabled at once: the funnel completes, the
     stage counts are monotone non-increasing in funnel order, and the
@@ -566,7 +612,7 @@ def test_curate_all_stages_compose(spark, tmp_path):
     summary = run(
         parse_args(
             ["--input", path, "--output", out, "--report", report,
-             "--gopher-filter", "--max-mille-bits", "30000",
+             "--nb-quality", "--gopher-filter", "--max-mille-bits", "30000",
              "--dsir-select", "--max-dup-block-pct", "90",
              "--lang-rebalance", "--c4-clean", "--dedup-paragraphs",
              "--cut-dup-spans"]
@@ -575,6 +621,7 @@ def test_curate_all_stages_compose(spark, tmp_path):
     )
     order = [
         "n_total", "n_quality", "n_after_exact_dedup", "n_curated",
+        "n_after_nb_quality",
         "n_after_gopher", "n_after_perplexity", "n_after_dsir",
         "n_after_block_dedup", "n_after_lang_rebalance", "n_after_c4",
         "n_after_paragraph_dedup", "n_after_span_cut",
