@@ -1697,6 +1697,17 @@ def nb_classifier_verdicts(
     equi-join -> map-side-combinable per-doc agg.  The gram explode is
     recomputed rather than persisted (the DSIR/lm trade: re-scan beats
     materializing the exploded corpus at 100 TB)."""
+    return nb_score(docs, nb_model(train, lab))
+
+
+def nb_model(train: DataFrame, lab: DataFrame) -> DataFrame:
+    """(bucket, bits, thr2): the trained classifier as ONE complete,
+    serializable static table — every bucket 0..B-1 materialized with
+    its llr bits (unseen buckets folded to the class-size constant) and
+    the train-calibrated decision threshold carried on every row.
+    Written to parquet this is the model artifact a stream-static
+    scorer joins per micro-batch (streaming/nb_quality_stream.py); the
+    batch verdicts function composes it with nb_score directly."""
     B = _DSIR_BUCKETS
     bc = (
         _dsir_gram_rows(train)
@@ -1771,10 +1782,42 @@ def nb_classifier_verdicts(
             " ELSE (sp DIV np) + (sn DIV nn) END AS BIGINT) AS thr2"
         )
     )
+    all_b = (
+        train.sparkSession.range(B)
+        .select(F.col("id").cast("int").alias("bucket"))
+    )
+    return (
+        all_b.join(F.broadcast(score), "bucket", "left")
+        .crossJoin(F.broadcast(un))
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "bucket",
+            F.coalesce("bits", "unseen_bits").cast("long").alias("bits"),
+            F.col("thr2").cast("long").alias("thr2"),
+        )
+    )
+
+
+def nb_score(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, llr_bits, mille_llr, is_quality) for the rows
+    of ``docs`` against a trained model table (nb_model) — the shared
+    scorer: the batch verdicts, the curate stage and the streaming
+    foreachBatch scorer all run this exact expression.  The model is
+    complete over the bucket domain, so the gram join is a plain inner
+    broadcast equi-join with no unseen special-casing left."""
+    per_doc = (
+        _dsir_gram_rows(docs)
+        .join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("bits").alias("llr_bits"),
+            F.max("thr2").alias("thr2"),
+        )
+    )
     return (
         docs.select("doc_id")
-        .join(_llr_per_doc(docs), "doc_id", "left")
-        .crossJoin(F.broadcast(thr))
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),

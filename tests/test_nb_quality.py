@@ -149,6 +149,108 @@ def test_nb_held_out_discrimination(spark):
     assert 0 < r["n_pos"] < r["n"]
 
 
+def test_nb_model_roundtrips_through_parquet(spark, tmp_path):
+    """nb_model written to parquet and re-read scores identically to
+    the direct composition — the model really is a serializable
+    artifact (what the streaming scorer consumes)."""
+    from coa_ocr_simple_spark.plans.driver_queries_quality import (
+        nb_model,
+        nb_score,
+    )
+
+    docs = _nb_docs(spark.read.parquet(f"{SF}/documents.parquet"))
+    train = docs.where(F.col("doc_id") % 10 == _NB_TRAIN_MOD)
+    lab = gopher_quality_signals(train).select(
+        "doc_id",
+        (F.col("is_gopher_bad") == 0).cast("long").alias("is_pos"),
+    )
+    mp = str(tmp_path / "nb_model.parquet")
+    model = nb_model(train, lab)
+    assert model.count() == _DSIR_BUCKETS  # complete over the domain
+    model.write.parquet(mp)
+    direct = {
+        r["doc_id"]: r for r in nb_classifier_verdicts(docs, train, lab).collect()
+    }
+    via_disk = nb_score(docs, spark.read.parquet(mp)).collect()
+    assert len(via_disk) == len(direct)
+    for r in via_disk:
+        d = direct[r["doc_id"]]
+        assert (r["n_grams"], r["llr_bits"], r["mille_llr"], r["is_quality"]) == (
+            d["n_grams"], d["llr_bits"], d["mille_llr"], d["is_quality"]
+        )
+
+
+def _stream_doc_rows(rows):
+    return [
+        {"doc_id": i, "text": t, "lang": "en", "source": "s",
+         "n_chars": len(t)}
+        for i, t in rows
+    ]
+
+
+def test_nb_stream_scores_and_resumes(spark, tmp_path):
+    """Stream-static NB scoring: docs scored incrementally against a
+    parquet model trained offline; verdicts separate the classes, and a
+    checkpoint restart processes only new files."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq_w
+
+    from coa_ocr_simple_spark.plans.driver_queries_quality import nb_model
+    from coa_ocr_simple_spark.streaming.nb_quality_stream import (
+        run_streaming_nb_quality,
+    )
+
+    clean = "alpha beta gamma delta epsilon zeta " * 10
+    spam = "alpha beta gamma " + "###... " * 40
+    train_rows = _stream_doc_rows(
+        [(100 + i, clean) for i in range(3)]
+        + [(200 + i, spam) for i in range(3)]
+    )
+    tp = str(tmp_path / "train.parquet")
+    papq_w.write_table(pa.Table.from_pylist(train_rows), tp)
+    train = spark.read.parquet(tp)
+    lab = train.select(
+        "doc_id", (F.col("doc_id") < 200).cast("long").alias("is_pos")
+    )
+    mp = str(tmp_path / "model.parquet")
+    nb_model(train, lab).write.parquet(mp)
+
+    inp = tmp_path / "docs"
+    inp.mkdir()
+    out = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "ckpt")
+
+    papq_w.write_table(
+        pa.Table.from_pylist(
+            _stream_doc_rows(
+                [(1, "beta gamma delta epsilon beta gamma"),
+                 (2, "delta epsilon ###... ###... ###... ###...")]
+            )
+        ),
+        str(inp / "b1.parquet"),
+    )
+    run_streaming_nb_quality(spark, str(inp), mp, out, ckpt)
+    first = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(first) == {1, 2}  # EVERY doc is scored, not just flagged
+    assert first[1]["is_quality"] and not first[2]["is_quality"]
+
+    # restart: only the new file is processed; batch dirs accumulate
+    papq_w.write_table(
+        pa.Table.from_pylist(
+            _stream_doc_rows([(3, "zeta alpha beta gamma delta")])
+        ),
+        str(inp / "b2.parquet"),
+    )
+    run_streaming_nb_quality(spark, str(inp), mp, out, ckpt)
+    final = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(final) == {1, 2, 3}
+    assert final[3]["is_quality"]
+    batches = {
+        r["batch"] for r in spark.read.parquet(out).select("batch").collect()
+    }
+    assert len(batches) == 2
+
+
 def test_nb_one_class_labels_degrade_gracefully(spark):
     """With one-class labels the threshold falls back to 0 and the
     verdicts skew positive — no crash, no all-negative inversion."""
