@@ -9,6 +9,8 @@ funnel as a runnable job:
          component of the pair graph)
       -> optional Naive-Bayes quality-classifier gate (--nb-quality,
          trained on the survivors' own Gopher-labeled held-in slice)
+      -> optional quality-weighted soft sampling (--quality-sample,
+         keep-probability proportional to the classifier score)
       -> optional Gopher A1.1 document-filter gate (--gopher-filter)
       -> optional CCNet-style bigram-LM perplexity gate
          (--max-mille-bits)
@@ -108,6 +110,39 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
             final,
             final.join(kept, "doc_id", "left_semi"),
             "n_after_nb_quality",
+        )
+
+    if args.quality_sample:
+        # Soft variant of the classifier gate (GPT-3/DCLM sampling
+        # policy): instead of a hard threshold, each survivor is kept
+        # with probability proportional to its classifier score
+        # (deterministic md5 coin, quality_weighted_sample ramp).
+        # Same trained model as --nb-quality; runs before
+        # --gopher-filter for the same both-classes-in-labels reason.
+        from ..plans.driver_queries_quality import (
+            _NB_TRAIN_MOD,
+            gopher_quality_signals,
+            nb_classifier_verdicts,
+            quality_weighted_sample,
+        )
+
+        surv_docs = docs.join(final, "doc_id", "left_semi")
+        train = surv_docs.where(F.col("doc_id") % 10 == _NB_TRAIN_MOD)
+        lab = gopher_quality_signals(train).select(
+            "doc_id",
+            (F.col("is_gopher_bad") == 0).cast("long").alias("is_pos"),
+        )
+        kept = (
+            quality_weighted_sample(
+                nb_classifier_verdicts(surv_docs, train, lab)
+            )
+            .where(F.col("is_kept"))
+            .select("doc_id")
+        )
+        final = _stage(
+            final,
+            final.join(kept, "doc_id", "left_semi"),
+            "n_after_quality_sample",
         )
 
     if args.gopher_filter:
@@ -330,6 +365,15 @@ def parse_args(argv=None) -> argparse.Namespace:
         "classifier scores above the train-calibrated threshold; "
         "runs before --gopher-filter (so training labels carry both "
         "classes); with one-class labels the stage keeps everything",
+    )
+    p.add_argument(
+        "--quality-sample",
+        action="store_true",
+        help="soft variant of --nb-quality (GPT-3/DCLM sampling "
+        "policy): keep each survivor with probability proportional "
+        "to its classifier score (linear ramp 0 at -2000 "
+        "mille-bits llr to 1 at 0, deterministic md5 coin) instead "
+        "of a hard threshold",
     )
     p.add_argument(
         "--gopher-filter",

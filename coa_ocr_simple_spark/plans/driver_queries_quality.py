@@ -1913,6 +1913,73 @@ FROM documents d LEFT JOIN nb_doc p USING (doc_id), thr t
 """
 
 
+# --- quality-weighted (soft) sampling over classifier scores ------------------------------
+
+# The GPT-3 / DCLM sampling policy: documents are KEPT IN PROPORTION TO
+# their classifier quality score rather than hard-gated at a threshold
+# (Brown et al. 2020 App. A samples documents iff
+# score > 1 - np.random.pareto(9); DCLM keeps a score-weighted
+# reservoir).  Here the keep-probability ramps linearly from 0 at
+# mille_llr <= _QWS_LO to 1 at mille_llr >= _QWS_HI, and the coin flip
+# is the repo's deterministic md5 4-hex prefix — reproducible across
+# engines and runs, no rand().  Constants picked from the measured
+# sf0.01 score distribution (spam docs cluster ~ -1700, clean docs
+# -100..+360): spam survives at ~0.15 rate, median clean at ~0.97,
+# everything at/above 0 mille-bits always ships.  Net-new operator
+# family (no reference counterpart) — the soft-sampling sibling of the
+# hard --nb-quality gate.
+_QWS_LO = -2000  # keep-probability 0 at/below this mille-llr
+_QWS_HI = 0  # keep-probability 1 at/above this mille-llr
+_QWS_W = _QWS_HI - _QWS_LO
+
+
+def quality_weighted_sample(verdicts: DataFrame) -> DataFrame:
+    """(doc_id, mille_llr, p64k, is_kept) for every scored doc — the
+    deterministic soft-sampling verdict over a classifier score frame
+    (nb_classifier_verdicts / nb_score output, or anything exposing
+    doc_id + mille_llr).
+
+    keep iff  prefix * W < (mille_llr - LO) * 65536   (integer
+    cross-mult, the lang_mixture/quota recipe): algebraically
+    prefix/65536 < clamp(mille_llr - LO, 0, W)/W without ever dividing —
+    below LO the RHS is <= 0 (never kept), at/above HI the inequality
+    holds for every prefix < 65536 (always kept), no clamp branches
+    needed.  p64k = the keep-probability in 1/65536 units (truncating
+    DIV == DuckDB //, ramp is non-negative) is emitted for inspection
+    and oracle-checked alongside the verdict.  Docs with no grams score
+    mille_llr 0 and always ship (they carry no classifier signal).
+
+    Scale shape: three projections over the verdict frame — zero
+    shuffles, zero joins beyond what the scorer itself ran."""
+    p = _md5_prefix_val(F.col("doc_id")).cast("long")
+    m = F.col("mille_llr").cast("long")
+    return verdicts.select(
+        "doc_id",
+        m.alias("mille_llr"),
+        F.expr(
+            f"CAST(LEAST(GREATEST(mille_llr - {_QWS_LO}, 0), {_QWS_W})"
+            f" * 65536 DIV {_QWS_W} AS BIGINT)"
+        ).alias("p64k"),
+        (p * _QWS_W < (m - F.lit(_QWS_LO)) * 65536).alias("is_kept"),
+    )
+
+
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_weighted_sample(nb_quality_classifier(_docs(spark, sf_dir)))
+
+
+_QWS_SQL = f"""
+WITH nb AS ({_NB_SQL})
+SELECT doc_id,
+       CAST(mille_llr AS BIGINT) AS mille_llr,
+       CAST(LEAST(GREATEST(mille_llr - {_QWS_LO}, 0), {_QWS_W})
+            * 65536 // {_QWS_W} AS BIGINT) AS p64k,
+       {_md5_prefix_sql("md5(CAST(doc_id AS VARCHAR))")} * {_QWS_W}
+         < (mille_llr - {_QWS_LO}) * 65536 AS is_kept
+FROM nb
+"""
+
+
 QUERIES_QUALITY = {
     "repetition_stats": q_repetition_stats,
     "gram_decontamination": q_gram_decontamination,
@@ -1944,6 +2011,7 @@ EXTRA_QUERIES_QUALITY = {
     "c4_line_filter": q_c4_line_filter,
     "ngram_repetition_stats": q_ngram_repetition_stats,
     "nb_quality_classifier": q_nb_quality_classifier,
+    "quality_weighted_sample": q_quality_weighted_sample,
 }
 EXTRA_ORACLES_QUALITY = {
     "sequence_packing": _PACKING_SQL,
@@ -1952,4 +2020,5 @@ EXTRA_ORACLES_QUALITY = {
     "c4_line_filter": _C4_SQL,
     "ngram_repetition_stats": _ngram_repetition_sql(),
     "nb_quality_classifier": _NB_SQL,
+    "quality_weighted_sample": _QWS_SQL,
 }
