@@ -931,6 +931,149 @@ LEFT JOIN ka k USING (doc_id)
 """
 
 
+# --- token-budget mixture (water-filling across sources) ----------------------------------
+
+# Budget-constrained corpus mixing (the Pile/Dolma composition problem):
+# given a total character budget T, allocate it across sources by
+# WATER-FILLING — small sources ship whole, large sources are capped at
+# a common level λ chosen so the allocations sum to (just under) T:
+#
+#     quota_s = min(n_s, λ),   λ = max level with Σ_s min(n_s, λ) <= T
+#
+# the allocation that maximizes the minimum per-source share, i.e. the
+# most source-diverse corpus the budget admits.  λ has a closed form
+# over the ASCENDING source-size order: with cum_k the running sum and
+# m sources, the largest k where cum_k + (m-k)·n_k <= T marks the last
+# whole-shipped source, and λ = (T - cum_k) DIV (m - k) spreads the
+# remainder over the capped tail.  All integer arithmetic, mirrored
+# verbatim in the oracle.
+#
+# Doc-level application is the repo's deterministic coin: keep iff
+# prefix · n_s < 65536 · quota_s (expected kept chars per source
+# ≈ quota_s; uncapped sources keep everything — the inequality is
+# vacuously true).  DECIMAL cross-mult for headroom at 10^14+ chars
+# per source (the lang_mixture recipe).
+#
+# Scale shape: one tiny groupBy(source) aggregate; ranking/cumsum
+# windows run over the PER-SOURCE frame (|sources| rows — thousands at
+# worst, one task), never over docs; the plan broadcasts back over the
+# scan.  Zero doc-level windows, zero extra shuffles.
+_BUDGET_DIV = 4  # ship a quarter of the corpus mass
+
+
+def token_budget_mixture(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, src_chars, quota_chars, is_kept) — water-filled
+    character-budget mixture over sources with T = total DIV 4.  See
+    the block comment for the allocation math; src/quota ride along so
+    the allocation itself is oracle-checked, not just the verdicts."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    src = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("src_chars")
+    )
+    tot = src.agg(
+        F.count(F.lit(1)).cast("long").alias("_m"),
+        F.expr(f"CAST(SUM(src_chars) DIV {_BUDGET_DIV} AS BIGINT)").alias(
+            "_t"
+        ),
+    )
+    w = Window.orderBy("src_chars", "source")
+    ranked = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn("_k", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "_cum",
+            F.sum("src_chars")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+    )
+    feas = ranked.where(
+        F.col("_cum") + (F.col("_m") - F.col("_k")) * F.col("src_chars")
+        <= F.col("_t")
+    )
+    sel = feas.agg(F.max(F.struct("_k", "_cum")).alias("_s")).select(
+        F.coalesce(F.col("_s._k"), F.lit(0)).alias("_kstar"),
+        F.coalesce(F.col("_s._cum"), F.lit(0)).alias("_cumstar"),
+    )
+    plan = (
+        ranked.crossJoin(F.broadcast(sel))
+        .withColumn(
+            "_lam",
+            F.when(
+                F.col("_kstar") < F.col("_m"),
+                F.expr("(_t - _cumstar) DIV (_m - _kstar)"),
+            ),  # _kstar == _m (budget covers everything): NULL = no cap
+        )
+        .select(
+            "source",
+            "src_chars",
+            F.when(
+                F.col("_lam").isNull() | (F.col("src_chars") <= F.col("_lam")),
+                F.col("src_chars"),
+            )
+            .otherwise(F.col("_lam"))
+            .cast("long")
+            .alias("quota_chars"),
+        )
+    )
+    p = _md5_prefix_val(F.col("doc_id")).cast("decimal(5,0)")
+    lhs = p.cast("decimal(20,0)") * F.col("src_chars").cast("decimal(17,0)")
+    rhs = F.lit(Decimal(65536)).cast("decimal(20,0)") * F.col(
+        "quota_chars"
+    ).cast("decimal(17,0)")
+    return docs.join(F.broadcast(plan), "source").select(
+        "doc_id",
+        "source",
+        "src_chars",
+        "quota_chars",
+        (lhs < rhs).alias("is_kept"),
+    )
+
+
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_budget_mixture(_docs(spark, sf_dir))
+
+
+_BUDGET_SQL = f"""
+WITH src AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_chars
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(src_chars) // {_BUDGET_DIV} AS BIGINT) AS t
+  FROM src
+), ranked AS (
+  SELECT source, src_chars,
+         CAST(ROW_NUMBER() OVER (ORDER BY src_chars, source) AS BIGINT) AS k,
+         CAST(SUM(src_chars) OVER (ORDER BY src_chars, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM src
+), sel AS (
+  SELECT CAST(COALESCE(MAX(k), 0) AS BIGINT) AS kstar,
+         CAST(COALESCE(arg_max(cum, k), 0) AS BIGINT) AS cumstar
+  FROM ranked, tot WHERE cum + (m - k) * src_chars <= t
+), lam AS (
+  SELECT CASE WHEN kstar < m
+              THEN CAST((t - cumstar) // (m - kstar) AS BIGINT)
+              END AS lam
+  FROM sel, tot
+), plan AS (
+  SELECT source, src_chars,
+         CAST(CASE WHEN lam IS NULL OR src_chars <= lam
+                   THEN src_chars ELSE lam END AS BIGINT) AS quota_chars
+  FROM ranked, lam
+)
+SELECT d.doc_id, d.source, p.src_chars, p.quota_chars,
+       {_md5_prefix_sql("md5(CAST(d.doc_id AS VARCHAR))")} * p.src_chars
+         < 65536 * p.quota_chars AS is_kept
+FROM documents d JOIN plan p USING (source)
+"""
+
+
 EXTRA_QUERIES_MIX = {
     "shard_manifest": q_shard_manifest,
     "lang_mixture_sample_a75": q_lang_mixture_sample_a75,  # temperature knob
@@ -939,6 +1082,7 @@ EXTRA_QUERIES_MIX = {
     "exact_substr_spans": q_exact_substr_spans,  # stride-1 ExactSubstr spans
     "exact_substr_cut": q_exact_substr_cut,  # the span CUT pass (cleaned text)
     "paragraph_dedup": q_paragraph_dedup,  # CCNet corpus-level paragraph dedup
+    "token_budget_mixture": q_token_budget_mixture,  # water-filled char budget
 }
 EXTRA_ORACLES_MIX = {
     "shard_manifest": _manifest_sql(),
@@ -948,4 +1092,5 @@ EXTRA_ORACLES_MIX = {
     "exact_substr_spans": _span_sql(),
     "exact_substr_cut": _cut_sql(),
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
+    "token_budget_mixture": _BUDGET_SQL,
 }
