@@ -15,11 +15,14 @@ Signals (all integer-exact, each also an oracle-checked query):
                               attributes only, payload stays put)
   lm_    lm_perplexity        CCNet-style bigram-LM bits
   dsir_  dsir_importance      DSIR hashed n-gram importance weight
+  nb_    nb_classifier_verdicts  Naive-Bayes classifier llr + verdict
+                              (trained on the corpus's own Gopher-
+                              labeled doc_id%10 slice, as in curate)
 
 Usage:
   python -m coa_ocr_simple_spark.jobs.profile_corpus \\
       --input /path/documents.parquet --output /path/attributes \\
-      [--signals lq,rep,gq,c4,lm,dsir] [--report /path/rollup]
+      [--signals lq,rep,gq,c4,lm,dsir,nb] [--report /path/rollup]
 
 Scale shape: each signal is one scan + (at most) one map-side-
 combinable agg keyed by doc_id; the wide table is assembled by
@@ -43,13 +46,25 @@ from ..sources.tables import TableIO
 def _signal_frames() -> dict[str, Callable[[DataFrame], DataFrame]]:
     from ..plans.driver_queries_ext import language_quality
     from ..plans.driver_queries_quality import (
+        _NB_TRAIN_MOD,
         c4_line_clean,
         dsir_importance,
         gopher_quality_signals,
         lm_perplexity,
+        nb_classifier_verdicts,
         ngram_repetition_stats,
         repetition_stats,
     )
+
+    def _nb(d: DataFrame) -> DataFrame:
+        # self-trained classifier, exactly the curate --nb-quality
+        # construction: Gopher-labeled held-in slice -> NB verdicts
+        train = d.where(F.col("doc_id") % 10 == _NB_TRAIN_MOD)
+        lab = gopher_quality_signals(train).select(
+            "doc_id",
+            (F.col("is_gopher_bad") == 0).cast("long").alias("is_pos"),
+        )
+        return nb_classifier_verdicts(d, train, lab)
 
     return {
         "lq": language_quality,
@@ -59,6 +74,7 @@ def _signal_frames() -> dict[str, Callable[[DataFrame], DataFrame]]:
         "c4": lambda d: c4_line_clean(d).drop("text_clean"),
         "lm": lm_perplexity,
         "dsir": dsir_importance,
+        "nb": _nb,
     }
 
 
@@ -71,6 +87,7 @@ _FLAG_COLUMNS = (
     "c4_is_dropped",
     "lm_is_fluent",
     "dsir_is_selected",
+    "nb_is_quality",
 )
 
 
@@ -129,8 +146,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--report", default=None, help="rollup-counts table/path")
     p.add_argument(
         "--signals",
-        default="lq,rep,gq,ng,c4,lm,dsir",
-        help="comma list from {lq,rep,gq,ng,c4,lm,dsir} (default: all)",
+        default="lq,rep,gq,ng,c4,lm,dsir,nb",
+        help="comma list from {lq,rep,gq,ng,c4,lm,dsir,nb} (default: all)",
     )
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)

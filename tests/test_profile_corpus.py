@@ -60,6 +60,7 @@ def test_profile_all_signals_wide_table(spark, tmp_path):
         "ng_is_ngram_repetitive",
         "c4_n_kept", "c4_is_dropped", "lm_mille_bits", "lm_is_fluent",
         "dsir_weight_bits", "dsir_is_selected",
+        "nb_mille_llr", "nb_is_quality",
     ):
         assert col in attrs.columns, col
     assert "c4_text_clean" not in attrs.columns  # payload stays out
@@ -88,6 +89,11 @@ def test_profile_all_signals_wide_table(spark, tmp_path):
     )
     assert rep["n_lq_is_quality"] == sum(
         1 for d in range(20) if got[d]["lq_is_quality"]
+    )
+    # nb trains on the %10==2 slice (docs 2, 12 — both clean prose):
+    # one-class labels degrade gracefully to the all-positive skew
+    assert rep["n_nb_is_quality"] == sum(
+        1 for d in range(20) if got[d]["nb_is_quality"]
     )
 
 
