@@ -726,7 +726,19 @@ def q_ann_ivfpq_search_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_search(spark, sf_dir, lloyd=True)
 
 
-def _ivfpq_search(spark: SparkSession, sf_dir: str, *, lloyd: bool) -> DataFrame:
+def q_ann_ivfpq_search_lloyd_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, Lloyd codebook, nprobe=2: queries probe their two
+    nearest inverted lists (candidates stay uniquely listed at rn=1),
+    recovering recall lost to near-Voronoi-boundary queries — the same
+    recall/cost knob _ivf_search exposes for plain IVF, composed with
+    ADC scoring.  Candidate volume and the per-query top-k window scale
+    by nprobe (2 x _MAX_IVF_LIST bound)."""
+    return _ivfpq_search(spark, sf_dir, lloyd=True, nprobe=2)
+
+
+def _ivfpq_search(
+    spark: SparkSession, sf_dir: str, *, lloyd: bool, nprobe: int = 1
+) -> DataFrame:
     emb = (
         _read(spark, sf_dir, "embeddings")
         .select("vec_id", _quantize(F.col("embedding")).alias("qv"))
@@ -752,22 +764,27 @@ def _ivfpq_search(spark: SparkSession, sf_dir: str, *, lloyd: bool) -> DataFrame
         lambda acc, x: acc + x,
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("centroid_id"))
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     assigned = (
         emb.crossJoin(F.broadcast(centroids))
         .select("vec_id", "centroid_id", cdot.alias("cdot"))
         .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+        .where(F.col("rn") <= nprobe)
+        .select("vec_id", "centroid_id", "rn")
         .persist()  # feeds the query and candidate branches
     )
     assigned.count()
 
-    queries = assigned.where(F.col("vec_id") % _QMOD == 0).select(
-        F.col("vec_id").alias("query_id"), "centroid_id"
-    )
-    cands = assigned.where(F.col("vec_id") % _QMOD != 0).select(
-        F.col("vec_id").alias("neighbor_id"), "centroid_id"
-    )
+    # queries probe their nprobe nearest lists; every candidate still
+    # lives in exactly ONE list (rn = 1), so no (query, neighbor) pair
+    # can be scored twice
+    queries = assigned.where(
+        (F.col("vec_id") % _QMOD == 0) & (F.col("rn") <= nprobe)
+    ).select(F.col("vec_id").alias("query_id"), "centroid_id")
+    cands = assigned.where(
+        (F.col("vec_id") % _QMOD != 0) & (F.col("rn") == 1)
+    ).select(F.col("vec_id").alias("neighbor_id"), "centroid_id")
     ok_lists = (
         cands.groupBy("centroid_id")
         .agg(F.count(F.lit(1)).alias("_l_n"))
@@ -812,42 +829,53 @@ def _ivfpq_search(spark: SparkSession, sf_dir: str, *, lloyd: bool) -> DataFrame
     )
 
 
-_IVFPQ_SQL = f"""
+def _ivfpq_sql(*, lloyd: bool, nprobe: int = 1) -> str:
+    """DuckDB oracle for _ivfpq_search at any (codebook, nprobe) — one
+    template: the lloyd variant swaps in the refined-codebook CTE block
+    and its cbq/subsq/codes_q names; nprobe widens the query-side probe
+    exactly as in the plan (candidates stay uniquely listed at rn=1, so
+    the per-list size window counts post-filter rows only)."""
+    pq_cte = _PQ_LLOYD_SQL if lloyd else _PQ_CB_SQL
+    cb = "cbq" if lloyd else "cb"
+    subs = "subsq" if lloyd else "subs"
+    codes = "codes_q" if lloyd else "codes"
+    return f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
   FROM embeddings
-),{_PQ_CB_SQL}, c AS (
+),{pq_cte}, c AS (
   SELECT vec_id AS centroid_id, qv AS cv FROM q
   WHERE vec_id % {_IVF_CENTROID_MOD} = 1
 ), assigned AS (
-  SELECT vec_id, centroid_id FROM (
+  SELECT vec_id, centroid_id, rn FROM (
     SELECT q.vec_id, c.centroid_id,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
                               ORDER BY CAST(list_dot_product(q.qv, c.cv) AS BIGINT) DESC,
                                        c.centroid_id ASC) AS rn
     FROM q CROSS JOIN c
-  ) WHERE rn = 1
+  ) WHERE rn <= {nprobe}
 ), queries AS (
-  SELECT vec_id AS query_id, centroid_id FROM assigned WHERE vec_id % {_QMOD} = 0
+  SELECT vec_id AS query_id, centroid_id FROM assigned
+  WHERE vec_id % {_QMOD} = 0 AND rn <= {nprobe}
 ), cands AS (
   SELECT neighbor_id, centroid_id FROM (
     SELECT vec_id AS neighbor_id, centroid_id,
            COUNT(*) OVER (PARTITION BY centroid_id) AS lsz
-    FROM assigned WHERE vec_id % {_QMOD} != 0
+    FROM assigned WHERE vec_id % {_QMOD} != 0 AND rn = 1
   ) WHERE lsz <= {_MAX_IVF_LIST}
 ), lut AS (
-  SELECT s.vec_id AS query_id, s.m, cb.code,
+  SELECT s.vec_id AS query_id, s.m, {cb}.code,
          CAST(list_dot_product(s.sub, s.sub)
-              - 2 * list_dot_product(s.sub, cb.cwv)
-              + list_dot_product(cb.cwv, cb.cwv) AS BIGINT) AS qd2
-  FROM subs s JOIN cb USING (m)
+              - 2 * list_dot_product(s.sub, {cb}.cwv)
+              + list_dot_product({cb}.cwv, {cb}.cwv) AS BIGINT) AS qd2
+  FROM {subs} s JOIN {cb} USING (m)
   WHERE s.vec_id % {_QMOD} = 0
 ), scored AS (
   SELECT p.query_id, cd.vec_id AS neighbor_id,
          CAST(SUM(l.qd2) AS BIGINT) AS adc_q
   FROM (SELECT query_id, neighbor_id FROM queries JOIN cands USING (centroid_id)) p
-  JOIN codes cd ON p.neighbor_id = cd.vec_id
+  JOIN {codes} cd ON p.neighbor_id = cd.vec_id
   JOIN lut l ON l.query_id = p.query_id AND l.m = cd.m AND l.code = cd.code
   GROUP BY p.query_id, cd.vec_id
 )
@@ -859,52 +887,9 @@ SELECT query_id, rank, neighbor_id, adc_q FROM (
 ) WHERE rank <= {_IVF_TOPK}
 """
 
-_IVFPQ_LLOYD_SQL = f"""
-WITH q AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
-  FROM embeddings
-),{_PQ_LLOYD_SQL}, c AS (
-  SELECT vec_id AS centroid_id, qv AS cv FROM q
-  WHERE vec_id % {_IVF_CENTROID_MOD} = 1
-), assigned AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT q.vec_id, c.centroid_id,
-           ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                              ORDER BY CAST(list_dot_product(q.qv, c.cv) AS BIGINT) DESC,
-                                       c.centroid_id ASC) AS rn
-    FROM q CROSS JOIN c
-  ) WHERE rn = 1
-), queries AS (
-  SELECT vec_id AS query_id, centroid_id FROM assigned WHERE vec_id % {_QMOD} = 0
-), cands AS (
-  SELECT neighbor_id, centroid_id FROM (
-    SELECT vec_id AS neighbor_id, centroid_id,
-           COUNT(*) OVER (PARTITION BY centroid_id) AS lsz
-    FROM assigned WHERE vec_id % {_QMOD} != 0
-  ) WHERE lsz <= {_MAX_IVF_LIST}
-), lut AS (
-  SELECT s.vec_id AS query_id, s.m, cbq.code,
-         CAST(list_dot_product(s.sub, s.sub)
-              - 2 * list_dot_product(s.sub, cbq.cwv)
-              + list_dot_product(cbq.cwv, cbq.cwv) AS BIGINT) AS qd2
-  FROM subsq s JOIN cbq USING (m)
-  WHERE s.vec_id % {_QMOD} = 0
-), scored AS (
-  SELECT p.query_id, cd.vec_id AS neighbor_id,
-         CAST(SUM(l.qd2) AS BIGINT) AS adc_q
-  FROM (SELECT query_id, neighbor_id FROM queries JOIN cands USING (centroid_id)) p
-  JOIN codes_q cd ON p.neighbor_id = cd.vec_id
-  JOIN lut l ON l.query_id = p.query_id AND l.m = cd.m AND l.code = cd.code
-  GROUP BY p.query_id, cd.vec_id
-)
-SELECT query_id, rank, neighbor_id, adc_q FROM (
-  SELECT query_id, neighbor_id, adc_q,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY adc_q ASC, neighbor_id ASC) AS rank
-  FROM scored
-) WHERE rank <= {_IVF_TOPK}
-"""
+
+_IVFPQ_SQL = _ivfpq_sql(lloyd=False)
+_IVFPQ_LLOYD_SQL = _ivfpq_sql(lloyd=True)
 
 
 # --- BPE-ish regex pre-tokenizer stats ---------------------------------------------------
@@ -1397,6 +1382,7 @@ EXTRA_QUERIES_EXT = {
     "ann_ivfpq_search": q_ann_ivfpq_search,  # IVF route + ADC lookup-table scoring
     "ann_pq_codes_lloyd": q_ann_pq_codes_lloyd,  # one-step-Lloyd codebook
     "ann_ivfpq_search_lloyd": q_ann_ivfpq_search_lloyd,  # refined-codebook ADC
+    "ann_ivfpq_search_lloyd_p2": q_ann_ivfpq_search_lloyd_p2,  # + nprobe=2
 }
 
 EXTRA_ORACLES_EXT = {
@@ -1409,4 +1395,5 @@ EXTRA_ORACLES_EXT = {
     "ann_ivfpq_search": _IVFPQ_SQL,
     "ann_pq_codes_lloyd": _PQ_CODES_LLOYD_SQL,
     "ann_ivfpq_search_lloyd": _IVFPQ_LLOYD_SQL,
+    "ann_ivfpq_search_lloyd_p2": _ivfpq_sql(lloyd=True, nprobe=2),
 }

@@ -132,3 +132,33 @@ def test_lloyd_codes_shape_and_distance_units(spark):
     assert set(per_vec.values()) == {_PQ_M}
     assert all(0 <= r["code"] < K for r in codes)
     assert all(r["dist_q"] >= 0 for r in codes)
+
+
+def test_ivfpq_nprobe_two_recall_at_least_nprobe_one(spark):
+    """The nprobe knob composed with ADC: probing two lists must not
+    LOSE brute-force-truth recall vs one list (every nprobe=1 candidate
+    list is still probed at nprobe=2), and typically regains queries
+    that sit just inside the wrong Voronoi cell."""
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in entrymod.extra_queries()["ann_topk"](spark, SF).collect()
+    }
+    spark.catalog.clearCache()
+    p1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in entrymod.extra_queries()["ann_ivfpq_search_lloyd"](
+            spark, SF
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    p2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in entrymod.extra_queries()["ann_ivfpq_search_lloyd_p2"](
+            spark, SF
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert len(truth & p2) >= len(truth & p1)
+    # the probe union strictly widens somewhere on this corpus: at
+    # least one query returns a different top-k set
+    assert p2 != p1
