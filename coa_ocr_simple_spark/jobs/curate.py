@@ -17,6 +17,8 @@ funnel as a runnable job:
       -> optional DSIR importance-weight selection (--dsir-select)
       -> optional ExactSubstr-style block-dup cut over the survivors
          (--max-dup-block-pct)
+      -> optional water-filled source char-budget mixture
+         (--char-budget-div)
       -> optional temperature language rebalancing (--lang-rebalance)
       -> optional C4 line/page payload rewrite (--c4-clean)
       -> optional CCNet corpus-level paragraph-dedup payload rewrite
@@ -212,6 +214,28 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         ).select("doc_id")
         final = _stage(
             final, final.join(bad, "doc_id", "left_anti"), "n_after_block_dedup"
+        )
+
+    if args.char_budget_div is not None:
+        # water-filled source mixture over the survivors: ship a
+        # 1/N fraction of the surviving char mass, allocated across
+        # sources by water-filling (small sources whole, big ones
+        # capped at a common level) — the budget-constrained
+        # composition step of a corpus build.
+        from ..plans.driver_queries_mix import token_budget_mixture
+
+        surv_docs = docs.join(final, "doc_id", "left_semi")
+        kept = (
+            token_budget_mixture(
+                surv_docs, budget_div=args.char_budget_div
+            )
+            .where(F.col("is_kept"))
+            .select("doc_id")
+        )
+        final = _stage(
+            final,
+            final.join(kept, "doc_id", "left_semi"),
+            "n_after_char_budget",
         )
 
     if args.lang_rebalance:
@@ -435,6 +459,15 @@ def parse_args(argv=None) -> argparse.Namespace:
         type=int,
         default=50,
         help="window length (tokens) for --cut-dup-spans",
+    )
+    p.add_argument(
+        "--char-budget-div",
+        type=int,
+        default=None,
+        help="water-filled source-mixture stage: ship 1/N of the "
+        "surviving char mass, allocated across sources by "
+        "water-filling (small sources whole, big sources capped at "
+        "a common level; deterministic md5 coin per doc)",
     )
     p.add_argument(
         "--lang-rebalance",

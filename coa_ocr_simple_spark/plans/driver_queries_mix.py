@@ -961,21 +961,26 @@ LEFT JOIN ka k USING (doc_id)
 _BUDGET_DIV = 4  # ship a quarter of the corpus mass
 
 
-def token_budget_mixture(docs: DataFrame) -> DataFrame:
+def token_budget_mixture(
+    docs: DataFrame, budget_div: int = _BUDGET_DIV
+) -> DataFrame:
     """(doc_id, source, src_chars, quota_chars, is_kept) — water-filled
-    character-budget mixture over sources with T = total DIV 4.  See
-    the block comment for the allocation math; src/quota ride along so
-    the allocation itself is oracle-checked, not just the verdicts."""
+    character-budget mixture over sources with T = total DIV
+    ``budget_div``.  See the block comment for the allocation math;
+    src/quota ride along so the allocation itself is oracle-checked,
+    not just the verdicts."""
     from decimal import Decimal
 
     from pyspark.sql import Window
 
+    if budget_div < 1:
+        raise ValueError(f"budget_div must be >= 1, got {budget_div}")
     src = docs.groupBy("source").agg(
         F.sum("n_chars").cast("long").alias("src_chars")
     )
     tot = src.agg(
         F.count(F.lit(1)).cast("long").alias("_m"),
-        F.expr(f"CAST(SUM(src_chars) DIV {_BUDGET_DIV} AS BIGINT)").alias(
+        F.expr(f"CAST(SUM(src_chars) DIV {budget_div} AS BIGINT)").alias(
             "_t"
         ),
     )

@@ -118,3 +118,50 @@ def test_budget_mixture_budget_covers_everything(spark, tmp_path):
     out = token_budget_mixture(docs).collect()
     assert all(r["quota_chars"] == 0 for r in out)
     assert not any(r["is_kept"] for r in out)
+
+
+def test_curate_char_budget_stage(spark, tmp_path):
+    """--char-budget-div: survivors are water-fill-sampled by source —
+    the tail sources ship whole, the mega-source is cut toward its
+    quota, and the stage count matches what lands on disk."""
+    from coa_ocr_simple_spark.jobs.curate import parse_args, run
+
+    import random
+
+    rng = random.Random(5)
+    stop = ["the", "and", "of", "to", "in", "is"]
+    vocab = [f"word{j}" for j in range(300)]
+    rows = []
+    doc_id = 0
+    for s, n_docs in [("mega", 200)] + [(f"tail{j}", 5) for j in range(4)]:
+        for _ in range(n_docs):
+            words = [
+                rng.choice(stop) if k % 4 == 0 else rng.choice(vocab)
+                for k in range(40)
+            ]
+            text = " ".join(words)
+            rows.append({"doc_id": doc_id, "text": text, "lang": "en",
+                         "source": s, "n_chars": len(text)})
+            doc_id += 1
+    path = str(tmp_path / "bdocs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), path)
+
+    out = str(tmp_path / "bcurated")
+    summary = run(
+        parse_args(
+            ["--input", path, "--output", out,
+             "--jaccard-min", "101",  # isolate the budget stage
+             "--char-budget-div", "4"]
+        ),
+        spark,
+    )
+    kept_rows = spark.read.parquet(out).collect()
+    assert summary["n_after_char_budget"] == len(kept_rows)
+    by_src = {}
+    for r in kept_rows:
+        by_src.setdefault(r["source"], 0)
+        by_src[r["source"]] += 1
+    # tail sources below the water level ship whole; mega is cut hard
+    for j in range(4):
+        assert by_src.get(f"tail{j}", 0) == 5
+    assert by_src["mega"] < 100  # ~quota/src ratio of 200 expected ~45
