@@ -92,11 +92,22 @@ _FLAG_COLUMNS = (
 
 
 def profile_attributes(docs: DataFrame, signals: list[str]) -> DataFrame:
-    """One wide (doc_id, <prefixed signal columns>) frame; every
-    non-key column is prefixed with its signal tag so nothing collides
-    (three signals legitimately emit an n_lines)."""
+    """One wide (doc_id, doc_coin, <prefixed signal columns>) frame;
+    every non-key column is prefixed with its signal tag so nothing
+    collides (three signals legitimately emit an n_lines).
+
+    ``doc_coin`` is the repo's deterministic md5 4-hex prefix of the
+    doc id in [0, 65536) — the coin every sampling operator flips — so
+    apply_policy predicates can express SOFT sampling over attributes,
+    e.g. the quality_weighted_sample ramp:
+    ``doc_coin * 2000 < (nb_mille_llr + 2000) * 65536``."""
+    from ..plans.driver_queries_quality import _md5_prefix_val
+
     frames = _signal_frames()
-    attrs = docs.select("doc_id")
+    attrs = docs.select(
+        "doc_id",
+        _md5_prefix_val(F.col("doc_id")).cast("long").alias("doc_coin"),
+    )
     for tag in signals:
         f = frames[tag](docs)
         renamed = f.select(

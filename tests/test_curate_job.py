@@ -612,8 +612,10 @@ def test_curate_all_stages_compose(spark, tmp_path):
     summary = run(
         parse_args(
             ["--input", path, "--output", out, "--report", report,
-             "--nb-quality", "--gopher-filter", "--max-mille-bits", "30000",
+             "--nb-quality", "--quality-sample", "--gopher-filter",
+             "--max-mille-bits", "30000",
              "--dsir-select", "--max-dup-block-pct", "90",
+             "--char-budget-div", "1",  # budget covers everything: no-op cut
              "--lang-rebalance", "--c4-clean", "--dedup-paragraphs",
              "--cut-dup-spans"]
         ),
@@ -621,11 +623,15 @@ def test_curate_all_stages_compose(spark, tmp_path):
     )
     order = [
         "n_total", "n_quality", "n_after_exact_dedup", "n_curated",
-        "n_after_nb_quality",
+        "n_after_nb_quality", "n_after_quality_sample",
         "n_after_gopher", "n_after_perplexity", "n_after_dsir",
-        "n_after_block_dedup", "n_after_lang_rebalance", "n_after_c4",
+        "n_after_block_dedup", "n_after_char_budget",
+        "n_after_lang_rebalance", "n_after_c4",
         "n_after_paragraph_dedup", "n_after_span_cut",
     ]
+    # --char-budget-div 1 allocates the full char mass: every source
+    # ships whole, so the stage must be an exact no-op
+    assert summary["n_after_char_budget"] == summary["n_after_block_dedup"]
     # n_curated is recomputed after the doc-set stages; check the
     # doc-count funnel is monotone in the order the stages ran
     seq = [summary[k] for k in order if k in summary and k != "n_curated"]
