@@ -1980,6 +1980,109 @@ FROM nb
 """
 
 
+# --- character-entropy gibberish gate -------------------------------------------------
+
+# coarse entropy gate: docs whose per-char information density falls below
+# 2 whole bits/char (English prose measures ~3.2-3.5 under the floor-log2
+# quantization; repeated-char / single-token gibberish collapses to ~0)
+_ENT_MIN_BITS_PER_CHAR = 2
+
+
+def char_entropy_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc character-distribution information density (gibberish gate).
+
+    The one corpus-quality axis the Gopher/C4 suites miss: a document of
+    endlessly repeated characters or a tiny alphabet (binary spew decoded
+    as text, base64 walls, "aaaa...") passes length/stopword/punctuation
+    checks but has near-zero character entropy.  Signal trio:
+
+    - ``ent_nbits``   = sum over chars c of count(c) * floor(log2(n / count(c)))
+      — i.e. n x a coarse (whole-bit) Shannon entropy.  Exact integers in
+      both engines: floor(log2(a / b)) == LENGTH(BIN(a DIV b)) - 1 because
+      2^k <= floor(x) <= x < 2^(k+1) (the DSIR/tfidf floor-log2 recipe).
+    - ``top_char_pct``  — mass of the most frequent character.
+    - ``distinct_chars``.
+
+    ``is_low_entropy`` gates at < 2 whole bits/char via integer
+    cross-multiplication (no floats anywhere).
+
+    Scale shape: one explode(chars) -> map-side-combinable two-level
+    hashAggregate (per-doc distinct chars is <= the alphabet, so the
+    partial-agg buffers stay tiny no matter the doc length); the
+    explode+agg form is deliberately chosen over a per-row HOF frequency
+    map, which allocates O(alphabet) arrays per row and loses (the
+    minhash_bands measurement).  Left join restores empty docs.
+    """
+    pre = docs.where(F.length("text") >= 1).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.split(F.col("text"), "").alias("cs"),
+    )
+    counts = (
+        pre.select("doc_id", "n_chars", F.explode("cs").alias("ch"))
+        .groupBy("doc_id", "n_chars", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+        F.max("c").cast("long").alias("top_char_n"),
+        F.sum(F.expr("c * (LENGTH(BIN(n_chars DIV c)) - 1)"))
+        .cast("long")
+        .alias("ent_nbits"),
+    )
+    ent = F.col("ent_nbits")
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce("distinct_chars", F.lit(0)).cast("long").alias("distinct_chars"),
+            F.coalesce(
+                F.expr("top_char_n * 100 DIV n_chars"), F.lit(0)
+            )
+            .cast("long")
+            .alias("top_char_pct"),
+            F.coalesce(ent, F.lit(0)).cast("long").alias("ent_nbits"),
+            F.coalesce(
+                ent < F.col("n_chars") * _ENT_MIN_BITS_PER_CHAR, F.lit(True)
+            ).alias("is_low_entropy"),
+        )
+    )
+
+
+def q_char_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return char_entropy_stats(_docs(spark, sf_dir))
+
+
+_CHAR_ENTROPY_SQL = f"""
+WITH pre AS (
+  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, text
+  FROM documents WHERE LENGTH(text) >= 1
+), ch AS (
+  SELECT doc_id, n_chars, substring(text, CAST(i + 1 AS BIGINT), 1) AS ch
+  FROM pre, unnest(range(0, n_chars)) AS r(i)
+), counts AS (
+  SELECT doc_id, n_chars, ch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ch GROUP BY doc_id, n_chars, ch
+), per_doc AS (
+  SELECT doc_id, n_chars,
+         CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+         CAST(MAX(c) AS BIGINT) AS top_char_n,
+         CAST(SUM(c * (LENGTH(bin(n_chars // c)) - 1)) AS BIGINT) AS ent_nbits
+  FROM counts GROUP BY doc_id, n_chars
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(COALESCE(p.distinct_chars, 0) AS BIGINT) AS distinct_chars,
+       CAST(COALESCE(p.top_char_n * 100 // p.n_chars, 0) AS BIGINT) AS top_char_pct,
+       CAST(COALESCE(p.ent_nbits, 0) AS BIGINT) AS ent_nbits,
+       COALESCE(p.ent_nbits < p.n_chars * {_ENT_MIN_BITS_PER_CHAR}, TRUE)
+         AS is_low_entropy
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 QUERIES_QUALITY = {
     "repetition_stats": q_repetition_stats,
     "gram_decontamination": q_gram_decontamination,
@@ -2012,6 +2115,7 @@ EXTRA_QUERIES_QUALITY = {
     "ngram_repetition_stats": q_ngram_repetition_stats,
     "nb_quality_classifier": q_nb_quality_classifier,
     "quality_weighted_sample": q_quality_weighted_sample,
+    "char_entropy_stats": q_char_entropy_stats,
 }
 EXTRA_ORACLES_QUALITY = {
     "sequence_packing": _PACKING_SQL,
@@ -2021,4 +2125,5 @@ EXTRA_ORACLES_QUALITY = {
     "ngram_repetition_stats": _ngram_repetition_sql(),
     "nb_quality_classifier": _NB_SQL,
     "quality_weighted_sample": _QWS_SQL,
+    "char_entropy_stats": _CHAR_ENTROPY_SQL,
 }
