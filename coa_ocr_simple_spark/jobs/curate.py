@@ -12,6 +12,7 @@ funnel as a runnable job:
       -> optional quality-weighted soft sampling (--quality-sample,
          keep-probability proportional to the classifier score)
       -> optional Gopher A1.1 document-filter gate (--gopher-filter)
+      -> optional character-entropy gibberish gate (--entropy-filter)
       -> optional CCNet-style bigram-LM perplexity gate
          (--max-mille-bits)
       -> optional DSIR importance-weight selection (--dsir-select)
@@ -162,6 +163,23 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         )
         final = _stage(
             final, final.join(bad, "doc_id", "left_anti"), "n_after_gopher"
+        )
+
+    if args.entropy_filter:
+        # character-entropy gibberish gate over the survivors: repeated-
+        # char / tiny-alphabet spew passes the word-level Gopher checks
+        # but collapses to < 2 coarse bits/char.  Same cheap-heuristic
+        # tier as --gopher-filter; doc_id-set plumbing.
+        from ..plans.driver_queries_quality import char_entropy_stats
+
+        surv_docs = docs.join(final, "doc_id", "left_semi")
+        low = (
+            char_entropy_stats(surv_docs)
+            .where(F.col("is_low_entropy"))
+            .select("doc_id")
+        )
+        final = _stage(
+            final, final.join(low, "doc_id", "left_anti"), "n_after_entropy"
         )
 
     if args.max_mille_bits is not None:
@@ -406,6 +424,13 @@ def parse_args(argv=None) -> argparse.Namespace:
         "filters (mean word length outside [3,10], symbol-to-word "
         "> 0.1, > 90%% bullet lines, > 30%% ellipsis lines, "
         "< 80%% alphabetic words)",
+    )
+    p.add_argument(
+        "--entropy-filter",
+        action="store_true",
+        help="drop survivor docs below 2 coarse bits/char of character "
+        "entropy (repeated-char / tiny-alphabet gibberish that the "
+        "word-level Gopher filters pass)",
     )
     p.add_argument(
         "--max-mille-bits",

@@ -18,6 +18,7 @@ Signals (all integer-exact, each also an oracle-checked query):
   nb_    nb_classifier_verdicts  Naive-Bayes classifier llr + verdict
                               (trained on the corpus's own Gopher-
                               labeled doc_id%10 slice, as in curate)
+  ent_   char_entropy_stats   character-entropy gibberish gate
 
 Usage:
   python -m coa_ocr_simple_spark.jobs.profile_corpus \\
@@ -48,6 +49,7 @@ def _signal_frames() -> dict[str, Callable[[DataFrame], DataFrame]]:
     from ..plans.driver_queries_quality import (
         _NB_TRAIN_MOD,
         c4_line_clean,
+        char_entropy_stats,
         dsir_importance,
         gopher_quality_signals,
         lm_perplexity,
@@ -75,6 +77,7 @@ def _signal_frames() -> dict[str, Callable[[DataFrame], DataFrame]]:
         "lm": lm_perplexity,
         "dsir": dsir_importance,
         "nb": _nb,
+        "ent": char_entropy_stats,
     }
 
 
@@ -88,6 +91,7 @@ _FLAG_COLUMNS = (
     "lm_is_fluent",
     "dsir_is_selected",
     "nb_is_quality",
+    "ent_is_low_entropy",
 )
 
 
@@ -157,8 +161,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--report", default=None, help="rollup-counts table/path")
     p.add_argument(
         "--signals",
-        default="lq,rep,gq,ng,c4,lm,dsir,nb",
-        help="comma list from {lq,rep,gq,ng,c4,lm,dsir,nb} (default: all)",
+        default="lq,rep,gq,ng,c4,lm,dsir,nb,ent",
+        help="comma list from {lq,rep,gq,ng,c4,lm,dsir,nb,ent} (default: all)",
     )
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)

@@ -2006,13 +2006,20 @@ def char_entropy_stats(docs: DataFrame) -> DataFrame:
     ``is_low_entropy`` gates at < 2 whole bits/char via integer
     cross-multiplication (no floats anywhere).
 
-    Scale shape: one explode(chars) -> map-side-combinable two-level
-    hashAggregate (per-doc distinct chars is <= the alphabet, so the
-    partial-agg buffers stay tiny no matter the doc length); the
+    Scale shape, batch: one explode(chars) -> map-side-combinable
+    two-level hashAggregate (per-doc distinct chars is <= the alphabet,
+    so the partial-agg buffers stay tiny no matter the doc length); the
     explode+agg form is deliberately chosen over a per-row HOF frequency
     map, which allocates O(alphabet) arrays per row and loses (the
     minhash_bands measurement).  Left join restores empty docs.
+
+    Shape, streaming: the stateless join-free rowwise form (a groupBy
+    on a stream would be a watermark-requiring stateful agg — the
+    minhash_bands dispatch), parity-pinned by
+    tests/test_char_entropy.py::test_rowwise_matches_batch.
     """
+    if docs.isStreaming:
+        return _char_entropy_rowwise(docs)
     pre = docs.where(F.length("text") >= 1).select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
@@ -2048,6 +2055,74 @@ def char_entropy_stats(docs: DataFrame) -> DataFrame:
                 ent < F.col("n_chars") * _ENT_MIN_BITS_PER_CHAR, F.lit(True)
             ).alias("is_low_entropy"),
         )
+    )
+
+
+def _char_entropy_rowwise(docs: DataFrame) -> DataFrame:
+    """Stateless per-row form (streaming path): sort the doc's char
+    array once, recover per-char counts as run lengths (run-start
+    indices -> adjacent differences), fold the entropy sum in-row.
+    Value-identical to the batch explode+agg form.  Each intermediate
+    array is materialized in its own projection with >= 2 lexical
+    references downstream so CollapseProject cannot re-inline it into
+    the consuming HOF lambdas (the known hazard); every array access is
+    F.get (O(1)) on the sorted array — never substr on the text."""
+    # split feeds array_sort directly: the argument of a plain function
+    # is evaluated once per row, so the single-reference CollapseProject
+    # inline is harmless here (unlike inside an HOF lambda)
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.array_sort(F.split(F.col("text"), "")).alias("sc"),
+    )
+    # run-start indices over the sorted chars; empty text -> [''] sorts
+    # to [''] but n_chars==0 gates everything downstream
+    starts = base.select(
+        "doc_id",
+        "n_chars",
+        "sc",
+        F.filter(
+            F.sequence(F.lit(0), F.size("sc") - 1),
+            lambda i: (i == 0) | (F.get("sc", i) != F.get("sc", i - 1)),
+        ).alias("idx"),
+    )
+    bounds = starts.select(
+        "doc_id",
+        "n_chars",
+        F.concat("idx", F.array(F.size("sc"))).alias("bd"),
+        F.size("idx").alias("n_runs"),
+    )
+    counts = bounds.select(
+        "doc_id",
+        "n_chars",
+        "n_runs",
+        F.zip_with(
+            F.slice("bd", 1, F.col("n_runs")),
+            F.slice(F.col("bd"), 2, F.col("n_runs")),
+            lambda a, b: (b - a).cast("long"),
+        ).alias("cn"),
+    )
+    n = F.col("n_chars")
+    # SQL-form lambda: it can reference the outer n_chars attribute AND
+    # use exact integral DIV (a Python-lambda `/` would be float division)
+    ent = F.expr(
+        "aggregate(cn, CAST(0 AS BIGINT),"
+        " (acc, c) -> acc + c * (LENGTH(BIN(n_chars DIV c)) - 1))"
+    )
+    return counts.select(
+        "doc_id",
+        "n_chars",
+        F.when(n == 0, F.lit(0)).otherwise(F.col("n_runs"))
+        .cast("long")
+        .alias("distinct_chars"),
+        F.when(n == 0, F.lit(0))
+        .otherwise(F.expr("array_max(cn) * 100 DIV n_chars"))
+        .cast("long")
+        .alias("top_char_pct"),
+        F.when(n == 0, F.lit(0)).otherwise(ent).cast("long").alias("ent_nbits"),
+        F.when(n == 0, F.lit(True))
+        .otherwise(ent < n * _ENT_MIN_BITS_PER_CHAR)
+        .alias("is_low_entropy"),
     )
 
 

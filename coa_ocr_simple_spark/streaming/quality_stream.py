@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.driver_queries_quality import c4_line_clean, gopher_quality_signals
+from ..plans.driver_queries_quality import (
+    c4_line_clean,
+    char_entropy_stats,
+    gopher_quality_signals,
+)
 from .dedup_stream import DOCUMENTS_FLAT
 
 __all__ = [
@@ -36,7 +40,8 @@ def quality_batch(batch_docs: DataFrame) -> DataFrame:
     """Combined per-doc attribute row for one micro-batch: Gopher
     signals + C4 line/page stats (c4_-prefixed; text_clean kept — the
     streaming consumer is an ingest pipeline that wants the cleaned
-    payload, not just the verdict)."""
+    payload, not just the verdict) + the character-entropy gibberish
+    gate (ent_-prefixed)."""
     gq = gopher_quality_signals(batch_docs)
     c4 = c4_line_clean(batch_docs).select(
         "doc_id",
@@ -44,7 +49,12 @@ def quality_batch(batch_docs: DataFrame) -> DataFrame:
         F.col("is_dropped").alias("c4_is_dropped"),
         F.col("text_clean").alias("c4_text_clean"),
     )
-    return gq.join(c4, "doc_id")
+    ent = char_entropy_stats(batch_docs).select(
+        "doc_id",
+        F.col("ent_nbits").alias("ent_nbits"),
+        F.col("is_low_entropy").alias("ent_is_low_entropy"),
+    )
+    return gq.join(c4, "doc_id").join(ent, "doc_id")
 
 
 def run_streaming_gopher(

@@ -71,6 +71,19 @@ def test_matches_python_reference(spark):
     assert got == _ref(TEXTS)
 
 
+def test_rowwise_matches_batch(spark):
+    """The stateless streaming form is value-identical to the batch
+    explode+agg form on every designed case (incl. empty text)."""
+    from coa_ocr_simple_spark.plans.driver_queries_quality import (
+        _char_entropy_rowwise,
+    )
+
+    docs = _docs_df(spark, TEXTS)
+    batch = {tuple(r) for r in char_entropy_stats(docs).collect()}
+    rowwise = {tuple(r) for r in _char_entropy_rowwise(docs).collect()}
+    assert batch == rowwise
+
+
 def test_gate_polarity(spark):
     rows = {
         r["doc_id"]: r["is_low_entropy"]

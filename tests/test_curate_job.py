@@ -339,6 +339,56 @@ def test_curate_cut_dup_spans_rewrites_payload(spark, tmp_path):
         assert got[d]["n_chars"] == len(got[d]["text"])
 
 
+def test_curate_entropy_filter_stage(spark, tmp_path):
+    """--entropy-filter: a stopword-rich doc made of ONE repeated word
+    passes the language/stopword quality gate but collapses to 1 coarse
+    bit/char of character entropy and drops; prose survives.  Without
+    the flag the same doc ships."""
+    import random
+
+    rng = random.Random(11)
+    stop = ["the", "and", "of", "to", "in", "is"]
+    vocab = [f"word{j}" for j in range(300)]
+    rows = []
+    for i in range(12):  # prose docs: pass quality AND the entropy gate
+        words = [
+            rng.choice(stop) if k % 4 == 0 else rng.choice(vocab)
+            for k in range(60)
+        ]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    # doc 12: 100% stopwords (quality-passing) on a 3-char alphabet
+    rows.append({"doc_id": 12, "text": "to " * 30})
+    for r in rows:
+        r.update({"lang": "en", "source": "s", "n_chars": len(r["text"])})
+    path = str(tmp_path / "ent_docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), path)
+
+    out_on = str(tmp_path / "ent_on")
+    summary = run(
+        parse_args(
+            ["--input", path, "--output", out_on,
+             "--jaccard-min", "101",  # disable near-dup for isolation
+             "--entropy-filter"]
+        ),
+        spark,
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(out_on).collect()}
+    assert 12 not in kept
+    assert summary["n_after_entropy"] == len(kept)
+    assert set(range(12)) <= kept
+
+    out_off = str(tmp_path / "ent_off")
+    summary_off = run(
+        parse_args(
+            ["--input", path, "--output", out_off, "--jaccard-min", "101"]
+        ),
+        spark,
+    )
+    assert "n_after_entropy" not in summary_off
+    kept_off = {r["doc_id"] for r in spark.read.parquet(out_off).collect()}
+    assert 12 in kept_off
+
+
 def test_curate_gopher_filter_stage(spark, tmp_path):
     """--gopher-filter: a quality-passing doc that is >90% bullet lines
     fails the Gopher A1.1 gate and drops; prose docs survive. Without
@@ -613,7 +663,7 @@ def test_curate_all_stages_compose(spark, tmp_path):
         parse_args(
             ["--input", path, "--output", out, "--report", report,
              "--nb-quality", "--quality-sample", "--gopher-filter",
-             "--max-mille-bits", "30000",
+             "--entropy-filter", "--max-mille-bits", "30000",
              "--dsir-select", "--max-dup-block-pct", "90",
              "--char-budget-div", "1",  # budget covers everything: no-op cut
              "--lang-rebalance", "--c4-clean", "--dedup-paragraphs",
@@ -624,7 +674,8 @@ def test_curate_all_stages_compose(spark, tmp_path):
     order = [
         "n_total", "n_quality", "n_after_exact_dedup", "n_curated",
         "n_after_nb_quality", "n_after_quality_sample",
-        "n_after_gopher", "n_after_perplexity", "n_after_dsir",
+        "n_after_gopher", "n_after_entropy", "n_after_perplexity",
+        "n_after_dsir",
         "n_after_block_dedup", "n_after_char_budget",
         "n_after_lang_rebalance", "n_after_c4",
         "n_after_paragraph_dedup", "n_after_span_cut",

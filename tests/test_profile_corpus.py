@@ -61,6 +61,7 @@ def test_profile_all_signals_wide_table(spark, tmp_path):
         "c4_n_kept", "c4_is_dropped", "lm_mille_bits", "lm_is_fluent",
         "dsir_weight_bits", "dsir_is_selected",
         "nb_mille_llr", "nb_is_quality",
+        "ent_ent_nbits", "ent_is_low_entropy",
     ):
         assert col in attrs.columns, col
     assert "c4_text_clean" not in attrs.columns  # payload stays out
@@ -79,6 +80,9 @@ def test_profile_all_signals_wide_table(spark, tmp_path):
     # the designed trigger docs land as expected
     assert not got[18]["lq_is_quality"] and got[18]["gq_is_gopher_bad"] == 1
     assert got[19]["gq_is_gopher_bad"] == 1 and not got[19]["c4_is_dropped"]
+    # "zz zz ..." is a 3-char alphabet: char-entropy gates it; prose passes
+    assert got[18]["ent_is_low_entropy"]
+    assert not got[0]["ent_is_low_entropy"]
 
     # rollup agrees with the table
     rep = {r["stage"]: r["n_docs"]
