@@ -806,6 +806,59 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
     return sql
 
 
+def q_bpe_vocab_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-usage rollup over the ENCODED corpus — the tokenizer
+    health check every vocab build runs (token frequency distribution,
+    document frequency, token length for corpus-fertility math).
+    Completes the BPE loop's analytics tail: train (bpe_pair_counts /
+    plans/bpe.py) -> encode (bpe_encode_corpus) -> THIS.
+
+    Scale shape: the zero-shuffle encode projection -> one explode ->
+    a two-level hashAggregate keyed by token (key cardinality ==
+    vocabulary size, so partial-agg buffers are tiny and the final
+    shuffle moves ~|vocab| rows regardless of corpus size); the exact
+    doc-frequency needs the (token, doc_id) pre-distinct, also keyed by
+    token."""
+    from .bpe import encode_corpus
+
+    from pyspark import StorageLevel
+
+    # persist barrier between the fold and the Generate: exploding the
+    # tokens column (or an index array over it) lets alias substitution
+    # copy the whole 8-merge fold into the Generate + its inferred
+    # filter — measured 481 (direct) / 801 (index-explode) lambda nodes
+    # in the physical plan vs the fold's own 160, i.e. the encode ran
+    # 3-5x.  The barrier is the winnow-explode recipe: the fold runs
+    # exactly once, the rollup reads cached rows.
+    enc = encode_corpus(
+        _docs(spark, sf_dir), _ENCODE_MERGES, engine="fold"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    occ = enc.select("doc_id", F.explode("tokens").alias("token"))
+    # (token, doc_id) partial agg instead of COUNT(DISTINCT …): the
+    # distinct would plan an Expand (2x the exploded stream); two
+    # map-side-combinable hashAggregates move ~|vocab| rows instead
+    per_doc = occ.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    return per_doc.groupBy("token").agg(
+        F.sum("c").cast("long").alias("n_occ"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.first(F.length("token")).cast("long").alias("token_chars"),
+    )
+
+
+def _vocab_usage_sql() -> str:
+    return f"""
+SELECT tok AS token,
+       CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(LENGTH(tok) AS BIGINT) AS token_chars
+FROM (
+  SELECT e.doc_id, unnest(e.tokens) AS tok
+  FROM ({_encode_sql()}) e
+) u
+GROUP BY tok
+"""
+
+
 # --- CCNet-style corpus-level paragraph dedup ---------------------------------------------
 
 # Wenzek et al. 2020 (CCNet): the dedup unit is the PARAGRAPH —
@@ -1084,6 +1137,7 @@ EXTRA_QUERIES_MIX = {
     "lang_mixture_sample_a75": q_lang_mixture_sample_a75,  # temperature knob
     "bpe_pair_counts": q_bpe_pair_counts,  # BPE round-1 argmax surface
     "bpe_encode_corpus": q_bpe_encode_corpus,  # merge-list application
+    "bpe_vocab_usage": q_bpe_vocab_usage,  # encoded-corpus vocab rollup
     "exact_substr_spans": q_exact_substr_spans,  # stride-1 ExactSubstr spans
     "exact_substr_cut": q_exact_substr_cut,  # the span CUT pass (cleaned text)
     "paragraph_dedup": q_paragraph_dedup,  # CCNet corpus-level paragraph dedup
@@ -1094,6 +1148,7 @@ EXTRA_ORACLES_MIX = {
     "lang_mixture_sample_a75": _mixture_sql(0.75),
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "bpe_encode_corpus": _encode_sql(),
+    "bpe_vocab_usage": _vocab_usage_sql(),
     "exact_substr_spans": _span_sql(),
     "exact_substr_cut": _cut_sql(),
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
