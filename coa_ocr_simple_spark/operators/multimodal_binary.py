@@ -237,3 +237,89 @@ def audio_windows(assets: DataFrame, window_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in WINDOWS.fields])
 
     return assets.where(assets.kind == "audio").mapInPandas(run, WINDOWS)
+
+
+# --- feature extraction (binary -> embedding) ---------------------------------------------
+
+
+class DeterministicEmbedder:
+    """Byte-level stand-in for a learned encoder (CLIP/wav2vec plug
+    shape): D float dims derived from the payload's md5 counter stream,
+    quantized to millis so values are bit-stable across hosts.  Content-
+    keyed (identical payloads embed identically), which is exactly the
+    property the downstream near-dup/ANN operators exploit."""
+
+    def __init__(self, dim: int = 16) -> None:
+        self.dim = dim
+
+    def embed(self, payload: bytes) -> list[float]:
+        h = hashlib.md5(payload).hexdigest()
+        out = []
+        for d in range(self.dim):
+            v = int.from_bytes(
+                hashlib.md5(f"{h}|{d}".encode()).digest()[:4], "big"
+            )
+            out.append((v % 2001 - 1000) / 1000.0)
+        return out
+
+
+class RealEmbedder:
+    """Production plug-point — requires a model runtime (torch/onnx),
+    absent in this sandbox."""
+
+    def __init__(self) -> None:
+        try:
+            import torch  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "learned embeddings require a model runtime; use "
+                "DeterministicEmbedder in environments without one"
+            )
+
+    def embed(self, payload):  # pragma: no cover
+        raise NotImplementedError("decode -> encoder forward -> pooled vector")
+
+
+def _embedded_schema(dim: int) -> StructType:
+    from pyspark.sql.types import ArrayType, FloatType
+
+    return StructType(
+        [
+            StructField("asset_id", StringType()),
+            StructField("kind", StringType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("dim", IntegerType()),
+        ]
+    )
+
+
+def embed_binary(assets: DataFrame, embedder=None, dim: int = 16) -> DataFrame:
+    """assets -> (asset_id, kind, embedding array<float>, dim): the
+    feature-extract step that bridges the opaque-binary world into the
+    embedding operators (semdedup_prune, embedding_neardup, ann_*) —
+    their input is exactly this frame's (id, array<float>) shape.
+
+    Partition-preserving mapInPandas like every transform in this
+    module: at 100 TB the encoder forward pass is the cost, so the plan
+    must never move payload bytes through a shuffle to reach it; any
+    repartition happens on the tiny (asset_id, embedding) OUTPUT."""
+    embedder = embedder or DeterministicEmbedder(dim)
+    schema = _embedded_schema(dim)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.payload is None:
+                    continue  # defensive: bad rows skipped, never fatal
+                rows.append(
+                    {
+                        "asset_id": r.asset_id,
+                        "kind": r.kind,
+                        "embedding": embedder.embed(bytes(r.payload)),
+                        "dim": embedder.dim,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return assets.mapInPandas(run, schema)

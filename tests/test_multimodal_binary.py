@@ -121,3 +121,64 @@ def test_deterministic_codec_is_pure():
     p = synth_payload("x", 64 * 48)
     assert codec.resize(p, 64, 48, 16, 12) == codec.resize(p, 64, 48, 16, 12)
     assert codec.resize(p, 0, 0, 16, 12) == b""
+
+
+def test_embed_binary_bridges_to_embedding_ops(spark):
+    """binary -> embedding feature extraction: stable schema, content-
+    keyed determinism (identical payloads embed identically), values in
+    [-1, 1], no Exchange below the map — and the output frame slots
+    straight into the cosine-similarity machinery (the planted duplicate
+    payload is its twin's nearest neighbor at similarity 1.0)."""
+    from coa_ocr_simple_spark.operators.multimodal_binary import embed_binary
+
+    assets = _assets(spark)
+    # plant a byte-identical twin of img-0 under a different id
+    twin = spark.createDataFrame(
+        [("img-0-copy", "image", synth_payload("img-0", 64 * 48),
+          {"width": 64, "height": 48, "sample_rate": None,
+           "duration_ms": None, "n_frames": None})],
+        ASSETS,
+    )
+    emb = embed_binary(assets.unionByName(twin), dim=16)
+    plan = emb._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("MapInPandas")[0], plan
+
+    rows = {r["asset_id"]: r for r in emb.collect()}
+    assert len(rows) == 13
+    for r in rows.values():
+        assert r["dim"] == 16 and len(r["embedding"]) == 16
+        assert all(-1.0 <= v <= 1.0 for v in r["embedding"])
+    assert rows["img-0"]["embedding"] == rows["img-0-copy"]["embedding"]
+    # run-to-run determinism
+    again = {r["asset_id"]: r["embedding"] for r in emb.collect()}
+    assert {k: r["embedding"] for k, r in rows.items()} == again
+
+    # bridge into the similarity world: exact cosine top-1 of img-0 is
+    # its byte-twin (the embedding_neardup/semdedup input shape)
+    left = emb.where(F.col("asset_id") == "img-0").select(
+        F.col("embedding").alias("e1")
+    )
+    others = emb.where(F.col("asset_id") != "img-0").select(
+        "asset_id", F.col("embedding").alias("e2")
+    )
+    dot = F.aggregate(
+        F.zip_with("e1", "e2", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda v: v * v), F.lit(0.0), lambda a, v: a + v
+        )
+    )
+    top = (
+        left.crossJoin(others)
+        .select(
+            "asset_id",
+            (dot / (norm(F.col("e1")) * norm(F.col("e2")))).alias("cos"),
+        )
+        .orderBy(F.desc("cos"))
+        .first()
+    )
+    assert top["asset_id"] == "img-0-copy"
+    assert abs(top["cos"] - 1.0) < 1e-6
