@@ -145,6 +145,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         EXTRA_QUERIES_QUALITY,
     )
     from coa_ocr_simple_spark.plans.driver_queries_rel import EXTRA_QUERIES_REL
+    from coa_ocr_simple_spark.plans.driver_queries_sketch import (
+        EXTRA_QUERIES_SKETCH,
+    )
 
     return {
         **EXTRA_QUERIES_EXT,
@@ -152,6 +155,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXTRA_QUERIES_QUALITY,
         **EXTRA_QUERIES_MIX,
         **EXTRA_QUERIES_DEDUP,
+        **EXTRA_QUERIES_SKETCH,
     }
 
 
@@ -165,6 +169,9 @@ def extra_oracle_sql() -> dict[str, str]:
         EXTRA_ORACLES_QUALITY,
     )
     from coa_ocr_simple_spark.plans.driver_queries_rel import EXTRA_ORACLES_REL
+    from coa_ocr_simple_spark.plans.driver_queries_sketch import (
+        EXTRA_ORACLES_SKETCH,
+    )
 
     return {
         **EXTRA_ORACLES_EXT,
@@ -172,4 +179,5 @@ def extra_oracle_sql() -> dict[str, str]:
         **EXTRA_ORACLES_QUALITY,
         **EXTRA_ORACLES_MIX,
         **EXTRA_ORACLES_DEDUP,
+        **EXTRA_ORACLES_SKETCH,
     }

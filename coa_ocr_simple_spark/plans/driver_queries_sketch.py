@@ -1,0 +1,465 @@
+"""Sketch operators over the documents corpus: HyperLogLog distinct
+estimation, Bloom-filter membership (decontamination probe), Count-Min
+frequency estimation.
+
+These are the streaming/mergeable summaries a 100-TB pipeline reaches
+for when the exact form stops fitting: a distinct-token count whose
+state is 256 integers per source instead of a distinct shuffle of every
+token; a membership filter over 10^12 training paragraphs that
+broadcasts as a bit array instead of joining the full gram table; a
+frequency table in O(d*w) counters instead of O(|vocab|).  No reference
+counterpart (net-new training-data-pipeline family, same class as the
+dedup/ANN waves).
+
+Cross-engine determinism: every hash is an md5 hex slice turned into an
+integer by the shared ``_hex_int_val`` / ``_hex_int_sql`` recipe, every
+power of two is an integer left shift (DuckDB errors above ``<< 62``;
+all shifts here are <= 40), and the one real-valued constant (the HLL
+alpha bias correction) is frozen as a parts-per-million integer literal
+so both engines compute bit-identical estimates.  The estimates are
+therefore oracle-checked EXACTLY — including the sketches' deliberate
+approximation error, which tests then bound against the exact answers.
+
+All three operators are pure JVM-side column expressions (md5 + integer
+arithmetic): no UDFs, no driver-side collects, map-side-combinable
+aggregates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .driver_queries import _docs
+from .driver_queries_mix import _hex_int_sql, _hex_int_val
+
+# --- HyperLogLog distinct-token estimate ----------------------------------------
+
+# m = 2^8 registers from the first 2 md5 hex digits; the next 15 digits
+# form a 60-bit value whose leading-zero count feeds the register.  The
+# register max is clamped at 40 so 2^(40 - r) stays an exact BIGINT term
+# (the clamp fires with probability ~m * 2^-40 — never at any corpus
+# size this engine will see, and identically in both engines if it did).
+_HLL_M = 256
+_HLL_RMAX = 40
+# alpha_256 = 0.7213 / (1 + 1.079/256), frozen in parts-per-million so
+# the bias-corrected estimate is integer arithmetic end to end
+_HLL_ALPHA_PPM = 718272
+_HLL_NUM = _HLL_M * _HLL_M * (1 << _HLL_RMAX)  # m^2 * 2^40 = 2^56
+
+# small-range (linear-counting) correction: when the raw estimate is
+# below 2.5m and zero registers remain, the standard algorithm switches
+# to E = m * ln(m / V).  V has only m possible values, so ln needs no
+# floats in either engine: a 256-entry table of round(ln(m/V) * 10^6),
+# frozen at import time, indexed by V (1-based, matching element_at /
+# DuckDB list indexing).
+import math as _math
+
+_HLL_LIN_THRESHOLD = 5 * _HLL_M // 2  # 2.5 m
+_HLL_LN_PPM = tuple(
+    int(round(_math.log(_HLL_M / v) * 1_000_000)) for v in range(1, _HLL_M + 1)
+)
+
+
+def hll_distinct_terms(docs: DataFrame) -> DataFrame:
+    """(source, m_registers, n_zero_registers, est_distinct): per-source
+    distinct-token estimate from a 256-register HyperLogLog.
+
+    Scale shape: explode to tokens, then two map-side-combinable hash
+    aggregates — max(rho) per (source, register) is at most 256 rows per
+    source AFTER the partial agg on every map task, so the shuffle
+    carries O(sources * 256) rows regardless of corpus size (the whole
+    point vs COUNT(DISTINCT), whose shuffle carries every distinct
+    token).  Registers are mergeable by max(), so the same state
+    parallelizes, restarts, and unions across corpus shards for free.
+
+    est = alpha_m * m^2 / sum_j 2^-M_j, all integer: terms are
+    2^(RMAX - r), absent registers contribute 2^RMAX, the numerator
+    m^2 * 2^RMAX = 2^56 fits BIGINT, and alpha is applied as
+    (raw * ALPHA_PPM) DIV 10^6 (overflow-safe below ~9*10^12 distinct —
+    far above any per-source vocabulary).  Below 2.5m the standard
+    linear-counting branch takes over — E = m * ln(m / V) — and stays
+    integer-exact because V (the zero-register count) has only 256
+    possible values: ln comes from a frozen PPM table, a single
+    ArrayType literal in both engines (one Literal node, not 256 —
+    the Catalyst expression-size lesson from the PQ codebooks).
+    """
+    h = F.md5("term")
+    hashed = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).select(
+        "source",
+        _hex_int_val(h, 1, 2).alias("reg"),
+        _hex_int_val(h, 3, 15).alias("v"),  # 60-bit hash value
+    )
+    # length(bin(v)) = floor(log2(v)) + 1 for v > 0, so rho (leading
+    # zeros of the 60-bit field + 1) = 61 - bitlen; bin(0) = '0' needs
+    # the explicit branch
+    rho = F.when(F.col("v") == 0, F.lit(61)).otherwise(
+        F.lit(61) - F.length(F.bin("v"))
+    )
+    regs = (
+        hashed.select(
+            "source",
+            "reg",
+            F.least(rho, F.lit(_HLL_RMAX)).cast("long").alias("r"),
+        )
+        .groupBy("source", "reg")
+        .agg(F.max("r").alias("r"))
+    )
+    per_src = regs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+        F.sum(F.expr(f"shiftleft(1L, CAST({_HLL_RMAX} - r AS INT))"))
+        .cast("long")
+        .alias("s_present"),
+    ).select(
+        "source",
+        "n_regs",
+        (
+            F.col("s_present")
+            + (F.lit(_HLL_M) - F.col("n_regs")) * F.lit(1 << _HLL_RMAX)
+        ).alias("s_total"),
+    )
+    raw = per_src.select(
+        "source",
+        (F.lit(_HLL_M) - F.col("n_regs")).cast("long").alias("v_zero"),
+        F.expr(
+            f"CAST((CAST({_HLL_NUM} AS BIGINT) DIV s_total) "
+            f"* {_HLL_ALPHA_PPM} DIV 1000000 AS BIGINT)"
+        ).alias("est_raw"),
+    )
+    # element_at is 1-based and v_zero = 0 would fault it, so clamp the
+    # index; the est branch only reads lin_num when v_zero > 0
+    lin = (
+        F.lit(_HLL_M)
+        * F.element_at(
+            F.lit(list(_HLL_LN_PPM)),
+            F.greatest(F.col("v_zero"), F.lit(1)).cast("int"),
+        )
+    ).cast("long")
+    est = F.when(
+        (F.col("est_raw") < _HLL_LIN_THRESHOLD) & (F.col("v_zero") > 0),
+        F.expr("CAST(lin_num DIV 1000000 AS BIGINT)"),
+    ).otherwise(F.col("est_raw"))
+    return raw.select(
+        "source",
+        "v_zero",
+        "est_raw",
+        lin.alias("lin_num"),
+    ).select(
+        "source",
+        F.lit(_HLL_M).cast("long").alias("m_registers"),
+        F.col("v_zero").alias("n_zero_registers"),
+        est.alias("est_distinct"),
+    )
+
+
+def q_hll_distinct_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_distinct_terms(_docs(spark, sf_dir))
+
+
+def _hll_sql() -> str:
+    reg = _hex_int_sql("h", 1, 2)
+    v = _hex_int_sql("h", 3, 15)
+    return f"""
+WITH toks AS (
+  SELECT source, md5(t.term) AS h
+  FROM documents,
+       unnest(regexp_split_to_array(lower(TRIM(text)), '\\s+')) AS t(term)
+), rho AS (
+  SELECT source, {reg} AS reg,
+         LEAST(CASE WHEN {v} = 0 THEN 61
+                    ELSE 61 - length(bin({v})) END,
+               {_HLL_RMAX}) AS r
+  FROM toks
+), regs AS (
+  SELECT source, reg, MAX(r) AS r FROM rho GROUP BY source, reg
+), per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_regs,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST({_HLL_RMAX} - r AS INTEGER))
+              AS BIGINT) AS s_present
+  FROM regs GROUP BY source
+), raw AS (
+  SELECT source,
+         CAST({_HLL_M} - n_regs AS BIGINT) AS v_zero,
+         CAST((CAST({_HLL_NUM} AS BIGINT)
+               // (s_present + ({_HLL_M} - n_regs) * CAST({1 << _HLL_RMAX} AS BIGINT)))
+              * {_HLL_ALPHA_PPM} // 1000000 AS BIGINT) AS est_raw
+  FROM per_src
+)
+SELECT source,
+       CAST({_HLL_M} AS BIGINT) AS m_registers,
+       v_zero AS n_zero_registers,
+       CAST(CASE WHEN est_raw < {_HLL_LIN_THRESHOLD} AND v_zero > 0
+                 THEN ({_HLL_M} * ([{", ".join(str(p) for p in _HLL_LN_PPM)}])[v_zero]) // 1000000
+                 ELSE est_raw END AS BIGINT) AS est_distinct
+FROM raw
+"""
+
+
+# --- Bloom-filter decontamination probe -----------------------------------------
+
+# 2^24 bits in 32-bit words (524288 BIGINT rows, a few MB — explicitly
+# broadcast); k = 3 bit positions from three disjoint 32-bit md5 slices.
+# At 10^12 training paragraphs the same plan sizes M_BITS up to ~2^36
+# (8 GiB of words) before the broadcast strategy needs to change — and
+# the bloom build itself stays one map-side-combinable bit_or aggregate.
+_BLOOM_BITS = 1 << 24
+_BLOOM_K_SLICES = (1, 9, 17)  # md5 hex offsets of the three 32-bit slices
+
+
+def _paragraph_lines(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, h): md5 of each normalized non-empty paragraph —
+    the paragraph_dedup normalization (trim, lower, whitespace fold)."""
+    raw = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "raw")
+    )
+    nrm = F.regexp_replace(F.lower(F.trim("raw")), r"\s+", " ")
+    return (
+        raw.select("doc_id", "pos", nrm.alias("nrm"))
+        .where(F.col("nrm") != "")
+        .select("doc_id", "pos", F.md5("nrm").alias("h"))
+    )
+
+
+def bloom_decontaminate(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_paragraphs, n_flagged): eval docs (doc_id % 10 == 0)
+    probed against a Bloom filter of every training-split (doc_id % 10
+    != 0) paragraph hash.
+
+    The constant-memory sibling of gram_decontamination: instead of
+    joining eval grams against a persisted train-gram table (a shuffle
+    proportional to the TRAINING corpus), the training side collapses to
+    a 2^24-bit array — one bit_or aggregate, 524288 rows, broadcast —
+    and the probe is a broadcast-hash-join of the eval side only.
+    False-positive rate at load n/m: (1 - e^(-3n/m))^3 — ~0.1% at the
+    bench corpus; deterministic, identical in both engines, and bounded
+    by tests against the exact join.  No false negatives by
+    construction (test-pinned).
+    """
+    train = _paragraph_lines(docs.where(F.col("doc_id") % 10 != 0))
+    ev = _paragraph_lines(docs.where(F.col("doc_id") % 10 == 0))
+
+    def bits(df: DataFrame) -> DataFrame:
+        pos_arr = F.array(
+            *[
+                (_hex_int_val(F.col("h"), s, 8) % _BLOOM_BITS).cast("long")
+                for s in _BLOOM_K_SLICES
+            ]
+        )
+        return df.select(
+            "doc_id", "pos", F.explode(pos_arr).alias("b")
+        ).select(
+            "doc_id",
+            "pos",
+            F.expr("CAST(b DIV 32 AS BIGINT)").alias("word"),
+            F.expr("shiftleft(1L, CAST(b % 32 AS INT))").alias("mask"),
+        )
+
+    bloom = (
+        bits(train)
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    probe = (
+        bits(ev)
+        .join(F.broadcast(bloom), "word", "left")
+        .groupBy("doc_id", "pos")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("bits").bitwiseAND(F.col("mask")) != 0, F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("hit")
+        )
+    )
+    per_doc = probe.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
+        F.sum("hit").cast("long").alias("n_flagged"),
+    )
+    ev_docs = docs.where(F.col("doc_id") % 10 == 0).select("doc_id")
+    return ev_docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_paragraphs", F.lit(0)).cast("long").alias("n_paragraphs"),
+        F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
+    )
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bloom_decontaminate(_docs(spark, sf_dir))
+
+
+def _bloom_bits_sql(src: str) -> str:
+    """CTE body: (doc_id, pos, word, mask) probe rows for split `src`."""
+    slices = ", ".join(
+        f"({_hex_int_sql('h', s, 8)} % {_BLOOM_BITS})" for s in _BLOOM_K_SLICES
+    )
+    return f"""
+  SELECT doc_id, pos,
+         CAST(b // 32 AS BIGINT) AS word,
+         CAST(1 AS BIGINT) << CAST(b % 32 AS INTEGER) AS mask
+  FROM (
+    SELECT doc_id, pos, unnest([{slices}]) AS b
+    FROM {src}
+  )"""
+
+
+def _bloom_sql() -> str:
+    return f"""
+WITH parts AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ps FROM documents
+), lines0 AS (
+  SELECT doc_id, i AS pos,
+         regexp_replace(lower(TRIM(ps[i + 1])), '\\s+', ' ', 'g') AS nrm
+  FROM parts, unnest(range(0, len(ps))) AS r(i)
+), lines AS (
+  SELECT doc_id, pos, md5(nrm) AS h FROM lines0 WHERE nrm != ''
+), train AS (
+  SELECT doc_id, pos, h FROM lines WHERE doc_id % 10 != 0
+), ev AS (
+  SELECT doc_id, pos, h FROM lines WHERE doc_id % 10 = 0
+), train_bits AS ({_bloom_bits_sql("train")}
+), ev_bits AS ({_bloom_bits_sql("ev")}
+), bloom AS (
+  SELECT word, bit_or(mask) AS bits FROM train_bits GROUP BY word
+), probe AS (
+  SELECT e.doc_id, e.pos,
+         MIN(CASE WHEN (b.bits & e.mask) != 0 THEN 1 ELSE 0 END) AS hit
+  FROM ev_bits e LEFT JOIN bloom b USING (word)
+  GROUP BY e.doc_id, e.pos
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+         CAST(SUM(hit) AS BIGINT) AS n_flagged
+  FROM probe GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+       CAST(COALESCE(p.n_flagged, 0) AS BIGINT) AS n_flagged
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+# --- Count-Min term-frequency estimate -------------------------------------------
+
+# d = 4 counter rows of w = 2^14 columns; the four column indexes are
+# the four disjoint 32-bit slices of md5(term).  The probe dictionary is
+# the distinct vocabulary of a deterministic thin doc slice — bounded
+# output at any corpus size.  exact_count rides along as the committed
+# accuracy evidence (CMS never underestimates; tests bound the
+# overestimate) — a 100-TB run drops that column, it is the one part of
+# the plan that isn't sketch-sized.
+_CMS_D = 4
+_CMS_W = 1 << 14
+_CMS_PROBE_MOD = 100  # probe vocabulary: terms of docs with doc_id % 100 == 7
+_CMS_PROBE_RES = 7
+
+
+def cms_term_counts(docs: DataFrame) -> DataFrame:
+    """(term, est_count, exact_count): Count-Min frequency estimates for
+    the probe vocabulary, with the exact counts alongside.
+
+    Scale shape: the sketch build is one explode (4 rows per token) into
+    one map-side-combinable count aggregate whose result is AT MOST
+    d * w = 65536 rows no matter the corpus — that table broadcasts to
+    the probe join.  Estimates are min over the d rows per term.
+    """
+    token = F.explode(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    ).alias("term")
+    toks = docs.select(F.col("doc_id"), token)
+
+    h = F.md5("term")
+    planes = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                (_hex_int_val(h, 1 + 8 * j, 8) % _CMS_W).cast("long").alias("c"),
+            )
+            for j in range(_CMS_D)
+        ]
+    )
+    sketch = (
+        toks.select(F.explode(planes).alias("p"))
+        .groupBy(F.col("p.j").alias("j"), F.col("p.c").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+    probe = (
+        toks.where(F.col("doc_id") % _CMS_PROBE_MOD == _CMS_PROBE_RES)
+        .select("term")
+        .distinct()
+    )
+    est = (
+        probe.select("term", F.explode(planes).alias("p"))
+        .join(
+            F.broadcast(sketch),
+            (F.col("p.j") == F.col("j")) & (F.col("p.c") == F.col("c")),
+        )
+        .groupBy("term")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    exact = (
+        toks.join(F.broadcast(probe), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    return est.join(exact, "term")
+
+
+def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cms_term_counts(_docs(spark, sf_dir))
+
+
+# DuckDB's unnest-of-struct-literals is awkward; generate the d planes as
+# a UNION ALL instead (each arm is one scan of the toks CTE — the oracle
+# runs at sf0.01 only, where four scans of a CTE are immaterial).
+def _cms_sql() -> str:
+    plane_arms = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS j, {_hex_int_sql('h', 1 + 8 * j, 8)} % {_CMS_W} AS c,"
+        f" term FROM toks"
+        for j in range(_CMS_D)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term, md5(t.term) AS h
+  FROM documents,
+       unnest(regexp_split_to_array(lower(TRIM(text)), '\\s+')) AS t(term)
+), planes AS (
+{plane_arms}
+), sketch AS (
+  SELECT j, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM planes GROUP BY j, c
+), probe AS (
+  SELECT DISTINCT term FROM toks
+  WHERE doc_id % {_CMS_PROBE_MOD} = {_CMS_PROBE_RES}
+), probe_cells AS (
+  SELECT p.term, pl.j, pl.c
+  FROM probe p
+  JOIN (SELECT DISTINCT j, c, term FROM planes) pl USING (term)
+), est AS (
+  SELECT term, MIN(s.cnt) AS est_count
+  FROM probe_cells pc JOIN sketch s USING (j, c)
+  GROUP BY term
+), exact AS (
+  SELECT t.term, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM toks t JOIN probe USING (term)
+  GROUP BY t.term
+)
+SELECT term, est_count, exact_count
+FROM est JOIN exact USING (term)
+"""
+
+
+EXTRA_QUERIES_SKETCH = {
+    "hll_distinct_terms": q_hll_distinct_terms,
+    "bloom_decontaminate": q_bloom_decontaminate,
+    "cms_term_counts": q_cms_term_counts,
+}
+
+EXTRA_ORACLES_SKETCH = {
+    "hll_distinct_terms": _hll_sql(),
+    "bloom_decontaminate": _bloom_sql(),
+    "cms_term_counts": _cms_sql(),
+}
