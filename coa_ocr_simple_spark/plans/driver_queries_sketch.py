@@ -61,29 +61,16 @@ _HLL_LN_PPM = tuple(
 )
 
 
-def hll_distinct_terms(docs: DataFrame) -> DataFrame:
-    """(source, m_registers, n_zero_registers, est_distinct): per-source
-    distinct-token estimate from a 256-register HyperLogLog.
-
-    Scale shape: explode to tokens, then two map-side-combinable hash
-    aggregates — max(rho) per (source, register) is at most 256 rows per
-    source AFTER the partial agg on every map task, so the shuffle
-    carries O(sources * 256) rows regardless of corpus size (the whole
-    point vs COUNT(DISTINCT), whose shuffle carries every distinct
-    token).  Registers are mergeable by max(), so the same state
-    parallelizes, restarts, and unions across corpus shards for free.
-
-    est = alpha_m * m^2 / sum_j 2^-M_j, all integer: terms are
-    2^(RMAX - r), absent registers contribute 2^RMAX, the numerator
-    m^2 * 2^RMAX = 2^56 fits BIGINT, and alpha is applied as
-    (raw * ALPHA_PPM) DIV 10^6 (overflow-safe below ~9*10^12 distinct —
-    far above any per-source vocabulary).  Below 2.5m the standard
-    linear-counting branch takes over — E = m * ln(m / V) — and stays
-    integer-exact because V (the zero-register count) has only 256
-    possible values: ln comes from a frozen PPM table, a single
-    ArrayType literal in both engines (one Literal node, not 256 —
-    the Catalyst expression-size lesson from the PQ codebooks).
-    """
+def hll_register_partials(docs: DataFrame) -> DataFrame:
+    """(source, reg, r): max-merged HyperLogLog registers — the
+    mergeable sketch state.  At most 256 rows per source after the
+    partial agg on every map task, so the shuffle carries
+    O(sources * 256) rows regardless of corpus size (the whole point
+    vs COUNT(DISTINCT), whose shuffle carries every distinct token).
+    Registers merge by max(): union partials from any corpus split —
+    shards, micro-batches, restarts — re-max, and the estimate is
+    identical to the single-pass batch answer (pinned by
+    tests/test_sketch_stream.py)."""
     h = F.md5("term")
     hashed = docs.select(
         "source",
@@ -99,7 +86,7 @@ def hll_distinct_terms(docs: DataFrame) -> DataFrame:
     rho = F.when(F.col("v") == 0, F.lit(61)).otherwise(
         F.lit(61) - F.length(F.bin("v"))
     )
-    regs = (
+    return (
         hashed.select(
             "source",
             "reg",
@@ -108,6 +95,24 @@ def hll_distinct_terms(docs: DataFrame) -> DataFrame:
         .groupBy("source", "reg")
         .agg(F.max("r").alias("r"))
     )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """(source, m_registers, n_zero_registers, est_distinct) from a
+    register table of (source, reg, r) rows — already max-merged per
+    (source, reg), e.g. the output of :func:`hll_register_partials`.
+
+    est = alpha_m * m^2 / sum_j 2^-M_j, all integer: terms are
+    2^(RMAX - r), absent registers contribute 2^RMAX, the numerator
+    m^2 * 2^RMAX = 2^56 fits BIGINT, and alpha is applied as
+    (raw * ALPHA_PPM) DIV 10^6 (overflow-safe below ~9*10^12 distinct —
+    far above any per-source vocabulary).  Below 2.5m the standard
+    linear-counting branch takes over — E = m * ln(m / V) — and stays
+    integer-exact because V (the zero-register count) has only 256
+    possible values: ln comes from a frozen PPM table, a single
+    ArrayType literal in both engines (one Literal node, not 256 —
+    the Catalyst expression-size lesson from the PQ codebooks).
+    """
     per_src = regs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_regs"),
         F.sum(F.expr(f"shiftleft(1L, CAST({_HLL_RMAX} - r AS INT))"))
@@ -153,6 +158,14 @@ def hll_distinct_terms(docs: DataFrame) -> DataFrame:
         F.col("v_zero").alias("n_zero_registers"),
         est.alias("est_distinct"),
     )
+
+
+def hll_distinct_terms(docs: DataFrame) -> DataFrame:
+    """(source, m_registers, n_zero_registers, est_distinct): per-source
+    distinct-token estimate from a 256-register HyperLogLog — the
+    single-pass batch composition of :func:`hll_register_partials` (one
+    explode + map-side-combinable max agg) and :func:`hll_estimate`."""
+    return hll_estimate(hll_register_partials(docs))
 
 
 def q_hll_distinct_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
