@@ -148,6 +148,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from coa_ocr_simple_spark.plans.driver_queries_sketch import (
         EXTRA_QUERIES_SKETCH,
     )
+    from coa_ocr_simple_spark.plans.driver_queries_corpus import (
+        EXTRA_QUERIES_CORPUS,
+    )
 
     return {
         **EXTRA_QUERIES_EXT,
@@ -156,6 +159,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXTRA_QUERIES_MIX,
         **EXTRA_QUERIES_DEDUP,
         **EXTRA_QUERIES_SKETCH,
+        **EXTRA_QUERIES_CORPUS,
     }
 
 
@@ -172,6 +176,9 @@ def extra_oracle_sql() -> dict[str, str]:
     from coa_ocr_simple_spark.plans.driver_queries_sketch import (
         EXTRA_ORACLES_SKETCH,
     )
+    from coa_ocr_simple_spark.plans.driver_queries_corpus import (
+        EXTRA_ORACLES_CORPUS,
+    )
 
     return {
         **EXTRA_ORACLES_EXT,
@@ -180,4 +187,5 @@ def extra_oracle_sql() -> dict[str, str]:
         **EXTRA_ORACLES_MIX,
         **EXTRA_ORACLES_DEDUP,
         **EXTRA_ORACLES_SKETCH,
+        **EXTRA_ORACLES_CORPUS,
     }

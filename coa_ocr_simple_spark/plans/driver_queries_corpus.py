@@ -116,6 +116,172 @@ FROM synth
 """
 
 
+# --- validity-aware PII scan (IPv4 / SSN / Luhn credit card) ------------------------------
+
+# Pattern-match alone over-redacts at corpus scale (every 16-digit order
+# number becomes a "credit card"); the standard scrubbers therefore pair
+# each candidate regex with a VALIDITY check.  All three checks here are
+# pure integer arithmetic, so they run as JVM HOF lambdas in Spark and
+# identical list lambdas in DuckDB — candidate counts AND validity
+# counts are oracle-exact.  Patterns stay in the Java∩RE2 common subset
+# (\b, \d, explicit quantifiers only).
+_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_CC = r"\b\d{16}\b"
+
+# synthesized scan corpus: one IPv4 whose last two octets stray out of
+# range on a doc_id-dependent subset, one SSN hitting every invalidity
+# rule (area 000/666/900+, group 00, serial 0000) across the id space,
+# one 16-digit card number that is Luhn-valid for ~1 in 10 docs
+_SCAN_TMPL = (
+    "Node 10.%d.%d.%d port %d\n"
+    "SSN on file %03d-%02d-%04d\n"
+    "Card: %016d\n"
+    "Trailing reference %d"
+)
+_SCAN_ARGS = [
+    "doc_id % 256",
+    "180 + doc_id % 120",  # > 255 for doc_id % 120 >= 76
+    "doc_id % 300",  # > 255 for doc_id % 300 >= 256
+    "doc_id",
+    "doc_id % 1000",  # SSN area: 000, 666, 900-999 all reachable
+    "doc_id % 100",  # SSN group: 00 reachable
+    "doc_id % 10000",  # SSN serial: 0000 reachable
+    "(4532000000000000 + doc_id * 99991) % 10000000000000000",
+    "doc_id",
+]
+
+# Luhn mod-10 over a 16-char digit string: position i from the LEFT is
+# doubled iff i is even (right-based parity 15 - i is odd), digits via
+# ascii - 48.  The strings are 16 chars, so the HOF
+# re-evaluation-per-invocation hazard is immaterial here.
+_LUHN_LAMBDA_SPARK = (
+    "aggregate(sequence(0, 15), 0, (acc, i) -> acc + "
+    "CASE WHEN i % 2 = 0 THEN "
+    "CASE WHEN 2 * (ascii(substring(s, i + 1, 1)) - 48) > 9 "
+    "THEN 2 * (ascii(substring(s, i + 1, 1)) - 48) - 9 "
+    "ELSE 2 * (ascii(substring(s, i + 1, 1)) - 48) END "
+    "ELSE ascii(substring(s, i + 1, 1)) - 48 END) % 10 = 0"
+)
+_LUHN_LAMBDA_DUCK = (
+    "list_sum(list_transform(range(0, 16), i -> "
+    "CASE WHEN i % 2 = 0 THEN "
+    "CASE WHEN 2 * (ascii(substr(s, CAST(i + 1 AS INTEGER), 1)) - 48) > 9 "
+    "THEN 2 * (ascii(substr(s, CAST(i + 1 AS INTEGER), 1)) - 48) - 9 "
+    "ELSE 2 * (ascii(substr(s, CAST(i + 1 AS INTEGER), 1)) - 48) END "
+    "ELSE ascii(substr(s, CAST(i + 1 AS INTEGER), 1)) - 48 END)) % 10 = 0"
+)
+
+# SSA assignment rules: area != 000/666, < 900; group != 00; serial != 0000
+_SSN_VALID_SPARK = (
+    "CAST(substring(s, 1, 3) AS INT) NOT IN (0, 666) "
+    "AND CAST(substring(s, 1, 3) AS INT) < 900 "
+    "AND CAST(substring(s, 5, 2) AS INT) != 0 "
+    "AND CAST(substring(s, 8, 4) AS INT) != 0"
+)
+_SSN_VALID_DUCK = (
+    "CAST(substr(s, 1, 3) AS INTEGER) NOT IN (0, 666) "
+    "AND CAST(substr(s, 1, 3) AS INTEGER) < 900 "
+    "AND CAST(substr(s, 5, 2) AS INTEGER) != 0 "
+    "AND CAST(substr(s, 8, 4) AS INTEGER) != 0"
+)
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ipv4, n_ipv4_valid, n_ssn, n_ssn_valid, n_cc,
+    n_cc_luhn_valid, redacted_md5): validity-aware PII scan.
+
+    Scale shape: one projection — candidate extraction, the three
+    validity lambdas, the redaction chain, and the md5 all fuse into a
+    single WholeStageCodegen pass over the scan; zero shuffles, zero
+    UDFs, per-row work linear in text length.
+    """
+    synth = docs.select(
+        "doc_id",
+        F.format_string(_SCAN_TMPL, *[F.expr(a) for a in _SCAN_ARGS]).alias(
+            "text"
+        ),
+    )
+    with_cands = synth.select(
+        "doc_id",
+        "text",
+        F.regexp_extract_all("text", F.lit(_IPV4), 0).alias("ips"),
+        F.regexp_extract_all("text", F.lit(_SSN), 0).alias("ssns"),
+        F.regexp_extract_all("text", F.lit(_CC), 0).alias("ccs"),
+    )
+    # CC first (16 digits can contain no dots/dashes, but nothing may
+    # eat its digits first), then SSN, then IPv4 — classes are disjoint
+    # in the template, the order just pins the contract
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _CC, "<CC>"), _SSN, "<SSN>"
+        ),
+        _IPV4,
+        "<IP>",
+    )
+    n = lambda c: F.size(c).cast("long")  # noqa: E731
+    return with_cands.select(
+        "doc_id",
+        n(F.col("ips")).alias("n_ipv4"),
+        F.expr(
+            "CAST(size(filter(ips, s -> "
+            "forall(split(s, '[.]'), o -> CAST(o AS INT) <= 255))) AS BIGINT)"
+        ).alias("n_ipv4_valid"),
+        n(F.col("ssns")).alias("n_ssn"),
+        F.expr(
+            f"CAST(size(filter(ssns, s -> {_SSN_VALID_SPARK})) AS BIGINT)"
+        ).alias("n_ssn_valid"),
+        n(F.col("ccs")).alias("n_cc"),
+        F.expr(
+            f"CAST(size(filter(ccs, s -> {_LUHN_LAMBDA_SPARK})) AS BIGINT)"
+        ).alias("n_cc_luhn_valid"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scan(_docs(spark, sf_dir))
+
+
+def _pii_scan_sql() -> str:
+    lit = _SCAN_TMPL.replace("'", "''")
+    synth = f"printf('{lit}', {', '.join(_SCAN_ARGS)})"
+    ipv4 = _IPV4.replace("'", "''")
+    ssn = _SSN.replace("'", "''")
+    cc = _CC.replace("'", "''")
+    return f"""
+WITH synth AS (
+  SELECT doc_id, {synth} AS text FROM documents
+), cands AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '{ipv4}') AS ips,
+         regexp_extract_all(text, '{ssn}') AS ssns,
+         regexp_extract_all(text, '{cc}') AS ccs
+  FROM synth
+)
+SELECT doc_id,
+       CAST(len(ips) AS BIGINT) AS n_ipv4,
+       CAST(len(list_filter(ips, s -> list_aggregate(
+           list_transform(string_split(s, '.'),
+                          o -> CAST(o AS INTEGER) <= 255),
+           'bool_and'))) AS BIGINT) AS n_ipv4_valid,
+       CAST(len(ssns) AS BIGINT) AS n_ssn,
+       CAST(len(list_filter(ssns, s -> {_SSN_VALID_DUCK})) AS BIGINT)
+           AS n_ssn_valid,
+       CAST(len(ccs) AS BIGINT) AS n_cc,
+       CAST(len(list_filter(ccs, s -> {_LUHN_LAMBDA_DUCK})) AS BIGINT)
+           AS n_cc_luhn_valid,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+           text, '{cc}', '<CC>', 'g'), '{ssn}', '<SSN>', 'g'),
+           '{ipv4}', '<IP>', 'g')) AS redacted_md5
+FROM cands
+"""
+
+
+EXTRA_QUERIES_CORPUS = {"pii_scan": q_pii_scan}
+EXTRA_ORACLES_CORPUS = {"pii_scan": _pii_scan_sql()}
+
+
 # --- train/test contamination ------------------------------------------------------------
 
 
