@@ -1132,7 +1132,83 @@ FROM documents d JOIN plan p USING (source)
 """
 
 
+# --- corpus snapshot delta (recrawl diff) -------------------------------------------------
+
+# Incremental corpus updates (CommonCrawl-style snapshots) start with a
+# diff: which docs were added, removed, or changed between crawl A and
+# crawl B?  The two snapshots are synthesized deterministically from the
+# one test corpus: A drops doc_id % 11 == 0 (so B has additions), B
+# drops doc_id % 7 == 0 (removals) and rewrites the text of doc_id % 5
+# == 0 (changes).  Comparison is by content md5, never by text equality
+# on the join — at 100 TB the diff join carries (doc_id, 16-byte hash),
+# not document bytes, and a co-partitioned full outer join on doc_id is
+# one shuffle of hashes on each side (or zero with both snapshots
+# bucketed by doc_id at write time, the layout write_sharded already
+# produces).  Unchanged docs are filtered OUT before any wide operator.
+_DELTA_A_DROP = 11
+_DELTA_B_DROP = 7
+_DELTA_B_EDIT = 5
+
+
+def corpus_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(doc_id, status): 'added' | 'removed' | 'changed' between two
+    snapshot frames of (doc_id, text).  Unchanged docs emit no row."""
+    a = old.select("doc_id", F.md5("text").alias("h_old"))
+    b = new.select("doc_id", F.md5("text").alias("h_new"))
+    joined = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+    )
+    return (
+        joined.select("doc_id", status.alias("status"))
+        .where(F.col("status").isNotNull())
+    )
+
+
+def _delta_snapshots(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    old = docs.where(F.col("doc_id") % _DELTA_A_DROP != 0).select(
+        "doc_id", "text"
+    )
+    edited = F.when(
+        F.col("doc_id") % _DELTA_B_EDIT == 0,
+        F.concat(F.col("text"), F.lit(" [rev2]")),
+    ).otherwise(F.col("text"))
+    new = docs.where(F.col("doc_id") % _DELTA_B_DROP != 0).select(
+        "doc_id", edited.alias("text")
+    )
+    return old, new
+
+
+def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _delta_snapshots(_docs(spark, sf_dir))
+    return corpus_delta(old, new)
+
+
+_DELTA_SQL = f"""
+WITH old AS (
+  SELECT doc_id, md5(text) AS h_old FROM documents
+  WHERE doc_id % {_DELTA_A_DROP} != 0
+), new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % {_DELTA_B_EDIT} = 0
+                  THEN text || ' [rev2]' ELSE text END) AS h_new
+  FROM documents WHERE doc_id % {_DELTA_B_DROP} != 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.h_old IS NULL THEN 'added'
+            WHEN n.h_new IS NULL THEN 'removed'
+            WHEN o.h_old != n.h_new THEN 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE CASE WHEN o.h_old IS NULL THEN 'added'
+           WHEN n.h_new IS NULL THEN 'removed'
+           WHEN o.h_old != n.h_new THEN 'changed' END IS NOT NULL
+"""
+
+
 EXTRA_QUERIES_MIX = {
+    "corpus_delta": q_corpus_delta,  # recrawl snapshot diff
     "shard_manifest": q_shard_manifest,
     "lang_mixture_sample_a75": q_lang_mixture_sample_a75,  # temperature knob
     "bpe_pair_counts": q_bpe_pair_counts,  # BPE round-1 argmax surface
@@ -1144,6 +1220,7 @@ EXTRA_QUERIES_MIX = {
     "token_budget_mixture": q_token_budget_mixture,  # water-filled char budget
 }
 EXTRA_ORACLES_MIX = {
+    "corpus_delta": _DELTA_SQL,
     "shard_manifest": _manifest_sql(),
     "lang_mixture_sample_a75": _mixture_sql(0.75),
     "bpe_pair_counts": _BPE_PAIRS_SQL,
