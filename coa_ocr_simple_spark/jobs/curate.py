@@ -369,6 +369,31 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         n_live -= summary["n_fully_cut_docs"]
         summary["n_after_span_cut"] = n_live
 
+    if args.pii_scrub:
+        # PII scrub (always the LAST rewrite: earlier rewrites must not
+        # resurrect scrubbed spans).  A pure stateless projection — no
+        # join, no doc drops, so no lineage cut is needed; the match
+        # counter is one cheap aggregate over the same JVM regexes.
+        from ..plans.driver_queries_corpus import (
+            _CC,
+            _EMAIL,
+            _IPV4,
+            _PHONE,
+            _SSN,
+            scrub_pii,
+        )
+
+        n_matches = sum(
+            F.sum(F.size(F.regexp_extract_all("text", F.lit(pat), 0)))
+            for pat in (_CC, _SSN, _IPV4, _EMAIL, _PHONE)
+        ).cast("long")
+        summary["n_pii_matches_scrubbed"] = int(
+            curated.agg(n_matches.alias("n")).collect()[0]["n"] or 0
+        )
+        curated = curated.withColumn(
+            "text", scrub_pii(F.col("text"))
+        ).withColumn("n_chars", F.length("text").cast("long"))
+
     io.append(curated, args.output)
     summary["n_curated"] = final.count()
     if args.report:
@@ -508,6 +533,14 @@ def parse_args(argv=None) -> argparse.Namespace:
         choices=[0.5, 0.75],
         help="mixture temperature for --lang-rebalance (0.75 downsamples "
         "the head language more gently)",
+    )
+    p.add_argument(
+        "--pii-scrub",
+        action="store_true",
+        help="final payload rewrite: pattern-level redaction of "
+        "email/phone/IPv4/SSN/credit-card candidates (recall-biased: "
+        "over-redaction is the safe direction for a shipping corpus; "
+        "pii_scan's validity counts quantify the bias)",
     )
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)

@@ -187,22 +187,34 @@ _SSN_VALID_DUCK = (
 )
 
 
-def pii_scan(docs: DataFrame) -> DataFrame:
+def scrub_pii(text):  # text: Column
+    """Pattern-level redaction chain over all five PII classes —
+    deliberately recall-biased (scrubbing an invalid candidate is safe;
+    shipping a valid one is not).  ``pii_scan``'s validity counts
+    quantify exactly how much that bias over-redacts."""
+    out = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, _CC, "<CC>"), _SSN, "<SSN>"
+        ),
+        _IPV4,
+        "<IP>",
+    )
+    return F.regexp_replace(
+        F.regexp_replace(out, _EMAIL, "<EMAIL>"), _PHONE, "<PHONE>"
+    )
+
+
+def pii_scan_text(docs: DataFrame) -> DataFrame:
     """(doc_id, n_ipv4, n_ipv4_valid, n_ssn, n_ssn_valid, n_cc,
-    n_cc_luhn_valid, redacted_md5): validity-aware PII scan.
+    n_cc_luhn_valid, redacted_md5): validity-aware PII scan over the
+    frame's own ``text`` column.
 
     Scale shape: one projection — candidate extraction, the three
     validity lambdas, the redaction chain, and the md5 all fuse into a
     single WholeStageCodegen pass over the scan; zero shuffles, zero
     UDFs, per-row work linear in text length.
     """
-    synth = docs.select(
-        "doc_id",
-        F.format_string(_SCAN_TMPL, *[F.expr(a) for a in _SCAN_ARGS]).alias(
-            "text"
-        ),
-    )
-    with_cands = synth.select(
+    with_cands = docs.select(
         "doc_id",
         "text",
         F.regexp_extract_all("text", F.lit(_IPV4), 0).alias("ips"),
@@ -237,6 +249,18 @@ def pii_scan(docs: DataFrame) -> DataFrame:
         ).alias("n_cc_luhn_valid"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """pii_scan_text over the deterministic synthesized scan corpus
+    (the generic corpus has no PII) — the oracle-checked entry point."""
+    synth = docs.select(
+        "doc_id",
+        F.format_string(_SCAN_TMPL, *[F.expr(a) for a in _SCAN_ARGS]).alias(
+            "text"
+        ),
+    )
+    return pii_scan_text(synth)
 
 
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
