@@ -61,21 +61,13 @@ _HLL_LN_PPM = tuple(
 )
 
 
-def hll_register_partials(docs: DataFrame) -> DataFrame:
-    """(source, reg, r): max-merged HyperLogLog registers — the
-    mergeable sketch state.  At most 256 rows per source after the
-    partial agg on every map task, so the shuffle carries
-    O(sources * 256) rows regardless of corpus size (the whole point
-    vs COUNT(DISTINCT), whose shuffle carries every distinct token).
-    Registers merge by max(): union partials from any corpus split —
-    shards, micro-batches, restarts — re-max, and the estimate is
-    identical to the single-pass batch answer (pinned by
-    tests/test_sketch_stream.py)."""
+def hll_registers_for(keyed_values: DataFrame) -> DataFrame:
+    """(source, reg, r) from any (source, term) frame: the generic
+    register builder — hash each term, take max rho per (key, register).
+    One map-side-combinable aggregate; the shuffle carries at most 256
+    rows per key regardless of input size."""
     h = F.md5("term")
-    hashed = docs.select(
-        "source",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
-    ).select(
+    hashed = keyed_values.select(
         "source",
         _hex_int_val(h, 1, 2).alias("reg"),
         _hex_int_val(h, 3, 15).alias("v"),  # 60-bit hash value
@@ -94,6 +86,26 @@ def hll_register_partials(docs: DataFrame) -> DataFrame:
         )
         .groupBy("source", "reg")
         .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_register_partials(docs: DataFrame) -> DataFrame:
+    """(source, reg, r): max-merged HyperLogLog registers over the
+    per-source token sets — the mergeable sketch state.  At most 256
+    rows per source after the partial agg on every map task, so the
+    shuffle carries O(sources * 256) rows regardless of corpus size
+    (the whole point vs COUNT(DISTINCT), whose shuffle carries every
+    distinct token).  Registers merge by max(): union partials from any
+    corpus split — shards, micro-batches, restarts — re-max, and the
+    estimate is identical to the single-pass batch answer (pinned by
+    tests/test_sketch_stream.py)."""
+    return hll_registers_for(
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term"),
+        )
     )
 
 
