@@ -420,6 +420,11 @@ _PQ_SEED_SCAN = _PQ_SEED_MOD * _PQ_K * 8
 _PQ_LLOYD_Q = 1024
 # swept: 2 steps is the recall sweet spot (see _pq_codebook_lloyd)
 _PQ_LLOYD_STEPS = 2
+# refine shortlist size: the ADC pass keeps its top-R per query and an
+# exact integer dot-product re-rank picks the final top-k from them —
+# R trades one bounded vector-fetch join for most of the recall the
+# lossy codes dropped (FAISS IndexRefineFlat's k_factor knob)
+_RERANK_R = 32
 
 
 def _pq_subspace_explode(df, vec_col: str = "qv"):
@@ -736,8 +741,25 @@ def q_ann_ivfpq_search_lloyd_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_search(spark, sf_dir, lloyd=True, nprobe=2)
 
 
+def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact re-rank (the full production ANN read path): Lloyd
+    codebook, nprobe=2 routing, ADC keeps a top-_RERANK_R shortlist per
+    query, then the shortlist's RAW quantized vectors are fetched and
+    re-ranked by exact integer dot product.  Compression still does the
+    heavy pruning (the exact scorer touches |Q| x R vectors, not the
+    corpus); the refine recovers the rank resolution the 16x16 codes
+    lack — recall strictly above the ADC-only tier is pinned by
+    tests/test_pq.py."""
+    return _ivfpq_search(spark, sf_dir, lloyd=True, nprobe=2, rerank=_RERANK_R)
+
+
 def _ivfpq_search(
-    spark: SparkSession, sf_dir: str, *, lloyd: bool, nprobe: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    lloyd: bool,
+    nprobe: int = 1,
+    rerank: int = 0,
 ) -> DataFrame:
     emb = (
         _read(spark, sf_dir, "embeddings")
@@ -821,6 +843,47 @@ def _ivfpq_search(
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("qd2").alias("adc_q"))
     )
+    if rerank:
+        # FAISS IndexRefineFlat-style refine: keep the ADC top-``rerank``
+        # shortlist per query, fetch ONLY those candidates' raw quantized
+        # vectors, and re-rank by the family's true metric (exact integer
+        # dot product, like ann_ivf_search / ann_topk).  The fetch join's
+        # probe side is |Q| x rerank rows — tiny next to the corpus — so
+        # at scale this is one bounded equi-join per side, never a second
+        # scan-wide score.  The shortlist window is bounded by
+        # nprobe x _MAX_IVF_LIST like the ADC window.
+        wa = Window.partitionBy("query_id").orderBy(
+            F.asc("adc_q"), F.asc("neighbor_id")
+        )
+        shortlist = (
+            scored.withColumn("arn", F.row_number().over(wa))
+            .where(F.col("arn") <= rerank)
+            .select("query_id", "neighbor_id")
+        )
+        qvecs = emb.where(F.col("vec_id") % _QMOD == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("qv").alias("q_vec")
+        )
+        nvecs = emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("n_vec")
+        )
+        dot = F.aggregate(
+            F.zip_with("q_vec", "n_vec", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        exact = (
+            shortlist.join(nvecs, "neighbor_id")
+            .join(qvecs, "query_id")
+            .select("query_id", "neighbor_id", dot.alias("dot_q"))
+        )
+        wx = Window.partitionBy("query_id").orderBy(
+            F.desc("dot_q"), F.asc("neighbor_id")
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(wx).cast("long"))
+            .where(F.col("rank") <= _IVF_TOPK)
+            .select("query_id", "rank", "neighbor_id", "dot_q")
+        )
     wr = Window.partitionBy("query_id").orderBy(F.asc("adc_q"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(wr).cast("long"))
@@ -829,16 +892,47 @@ def _ivfpq_search(
     )
 
 
-def _ivfpq_sql(*, lloyd: bool, nprobe: int = 1) -> str:
-    """DuckDB oracle for _ivfpq_search at any (codebook, nprobe) — one
-    template: the lloyd variant swaps in the refined-codebook CTE block
-    and its cbq/subsq/codes_q names; nprobe widens the query-side probe
-    exactly as in the plan (candidates stay uniquely listed at rn=1, so
-    the per-list size window counts post-filter rows only)."""
+def _ivfpq_sql(*, lloyd: bool, nprobe: int = 1, rerank: int = 0) -> str:
+    """DuckDB oracle for _ivfpq_search at any (codebook, nprobe, rerank)
+    — one template: the lloyd variant swaps in the refined-codebook CTE
+    block and its cbq/subsq/codes_q names; nprobe widens the query-side
+    probe exactly as in the plan (candidates stay uniquely listed at
+    rn=1, so the per-list size window counts post-filter rows only);
+    rerank swaps the final top-k for the ADC-shortlist -> exact-dot
+    re-rank."""
     pq_cte = _PQ_LLOYD_SQL if lloyd else _PQ_CB_SQL
     cb = "cbq" if lloyd else "cb"
     subs = "subsq" if lloyd else "subs"
     codes = "codes_q" if lloyd else "codes"
+    if rerank:
+        tail = f""", adc_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_q ASC, neighbor_id ASC) AS arn
+    FROM scored
+  ) WHERE arn <= {rerank}
+)
+SELECT query_id, rank, neighbor_id, dot_q FROM (
+  SELECT t.query_id, t.neighbor_id,
+         CAST(list_dot_product(qq.qv, nq.qv) AS BIGINT) AS dot_q,
+         ROW_NUMBER() OVER (PARTITION BY t.query_id
+                            ORDER BY CAST(list_dot_product(qq.qv, nq.qv) AS BIGINT) DESC,
+                                     t.neighbor_id ASC) AS rank
+  FROM adc_top t
+  JOIN q qq ON qq.vec_id = t.query_id
+  JOIN q nq ON nq.vec_id = t.neighbor_id
+) WHERE rank <= {_IVF_TOPK}
+"""
+    else:
+        tail = f"""
+SELECT query_id, rank, neighbor_id, adc_q FROM (
+  SELECT query_id, neighbor_id, adc_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_q ASC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_IVF_TOPK}
+"""
     return f"""
 WITH q AS (
   SELECT vec_id,
@@ -878,14 +972,7 @@ WITH q AS (
   JOIN {codes} cd ON p.neighbor_id = cd.vec_id
   JOIN lut l ON l.query_id = p.query_id AND l.m = cd.m AND l.code = cd.code
   GROUP BY p.query_id, cd.vec_id
-)
-SELECT query_id, rank, neighbor_id, adc_q FROM (
-  SELECT query_id, neighbor_id, adc_q,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY adc_q ASC, neighbor_id ASC) AS rank
-  FROM scored
-) WHERE rank <= {_IVF_TOPK}
-"""
+){tail}"""
 
 
 _IVFPQ_SQL = _ivfpq_sql(lloyd=False)
@@ -1383,6 +1470,7 @@ EXTRA_QUERIES_EXT = {
     "ann_pq_codes_lloyd": q_ann_pq_codes_lloyd,  # one-step-Lloyd codebook
     "ann_ivfpq_search_lloyd": q_ann_ivfpq_search_lloyd,  # refined-codebook ADC
     "ann_ivfpq_search_lloyd_p2": q_ann_ivfpq_search_lloyd_p2,  # + nprobe=2
+    "ann_ivfpq_rerank": q_ann_ivfpq_rerank,  # + exact-dot refine of the ADC shortlist
 }
 
 EXTRA_ORACLES_EXT = {
@@ -1396,4 +1484,5 @@ EXTRA_ORACLES_EXT = {
     "ann_pq_codes_lloyd": _PQ_CODES_LLOYD_SQL,
     "ann_ivfpq_search_lloyd": _IVFPQ_LLOYD_SQL,
     "ann_ivfpq_search_lloyd_p2": _ivfpq_sql(lloyd=True, nprobe=2),
+    "ann_ivfpq_rerank": _ivfpq_sql(lloyd=True, nprobe=2, rerank=_RERANK_R),
 }

@@ -162,3 +162,35 @@ def test_ivfpq_nprobe_two_recall_at_least_nprobe_one(spark):
     # the probe union strictly widens somewhere on this corpus: at
     # least one query returns a different top-k set
     assert p2 != p1
+
+
+def test_rerank_recall_strictly_beats_adc_only(spark):
+    """The exact-dot refine of the ADC shortlist must recover rank
+    resolution the lossy codes dropped: against the exact-in-list
+    ranking over the SAME candidate pool (ann_ivf_search_p2), the
+    reranked top-5 must strictly beat the ADC-only top-5, and it must
+    not lose brute-force-truth recall either."""
+    exact_in_list = {
+        (r["query_id"], r["neighbor_id"])
+        for r in entrymod.extra_queries()["ann_ivf_search_p2"](spark, SF).collect()
+    }
+    spark.catalog.clearCache()
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in entrymod.extra_queries()["ann_topk"](spark, SF).collect()
+    }
+    spark.catalog.clearCache()
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in entrymod.extra_queries()["ann_ivfpq_search_lloyd_p2"](
+            spark, SF
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    rr = {
+        (r["query_id"], r["neighbor_id"])
+        for r in entrymod.extra_queries()["ann_ivfpq_rerank"](spark, SF).collect()
+    }
+    spark.catalog.clearCache()
+    assert len(exact_in_list & rr) > len(exact_in_list & adc)
+    assert len(truth & rr) >= len(truth & adc)
