@@ -855,6 +855,153 @@ SELECT doc_id, rank, term, score FROM (
 """
 
 
+# --- BM25 ranked retrieval ----------------------------------------------------------------
+#
+# The ranked-search staple the term family was missing (tfidf_keywords
+# ranks terms WITHIN a doc; this ranks DOCS for a query).  Queries are
+# data-derived and deterministic: the corpus's document-frequency
+# ranking yields 3 queries of 4 consecutive mid-band terms each.  All
+# arithmetic is integer-exact cross-engine:
+#
+# - k1 = 1.2 and b = 0.75 enter as exact rationals; the tf saturation
+#   term tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl) is evaluated as
+#   one truncating division after cross-multiplying by 10*avgdl_m
+#   (avgdl_m = milli-token average doc length, itself (T*1000) DIV N —
+#   a scale-free quantity, so no operand grows with corpus size).
+# - idf is the UN-LOGGED Robertson odds (N - df + 0.5) / (df + 0.5),
+#   mille-scaled: ((N - df) * 2000 + 1000) DIV (2*df + 1).  The logged
+#   form is inexpressible exactly in integers at useful precision
+#   (floor-log2 collapses this corpus's narrow df band to 0); the
+#   un-logged odds are monotone-identical per term and always positive
+#   below df = N.  Disclosed surrogate, mirrored in the oracle.
+# - the query-term band df*20 >= N (with df*10 <= 9*N excluding only
+#   near-universal terms) bounds BOTH the df-rank window input (at most
+#   20*avgdl terms can clear N/20 — a corpus-shape constant, the
+#   length_quantiles argument) AND idf_mille at ~40000, keeping every
+#   product far under 2^63 at any corpus scale.
+
+_BM25_TOPK = 10
+_BM25_QUERIES = 3
+_BM25_QLEN = 4
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 docs for 3 deterministic 4-term queries.  Shape: one
+    explode -> tf hash agg feeding dfreq, dl and the match join
+    (deliberately NOT persisted: the subtree is one cheap explode+agg
+    and the racing recomputes overlap idle cores — A/B at sf0.1
+    measured 3.5 s unpersisted vs 4.7 s with an eager fill, the
+    gram_sets lesson), a 12-row broadcast of the derived query terms,
+    one groupBy(query, doc) sum, and a 3-partition top-k window
+    (Spark 4 plans a map-side WindowGroupLimit, so no executor sees
+    more than ~k rows per partition pre-shuffle)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok_total = tf.agg(F.sum("tf").alias("t_total"))
+    stats = n_docs.crossJoin(tok_total).select(
+        "n_docs", F.expr("(t_total * 1000) DIV n_docs").alias("avgdl_m")
+    )
+
+    band = dfreq.crossJoin(F.broadcast(n_docs)).where(
+        (F.col("df") * 20 >= F.col("n_docs"))
+        & (F.col("df") * 10 <= F.col("n_docs") * 9)
+    )
+    # bounded global window: at most 20*avgdl terms satisfy df >= N/20
+    wq = Window.orderBy(F.desc("df"), F.asc("term"))
+    qterms = (
+        band.withColumn("rn", F.row_number().over(wq) - 1)
+        .where(F.col("rn") < _BM25_QUERIES * _BM25_QLEN)
+        .select(
+            (F.col("rn") / _BM25_QLEN).cast("long").alias("query_id"),
+            "term",
+            "df",
+        )
+    )
+
+    idf_mille = F.expr("((n_docs - df) * 2000 + 1000) DIV (2 * df + 1)")
+    tf_part_mille = F.expr(
+        "(22000 * tf * avgdl_m) DIV (10 * tf * avgdl_m + 3 * avgdl_m + 9000 * dl)"
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (idf_mille * tf_part_mille).cast("long").alias("contrib"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "rank", "doc_id", "score_micro")
+    )
+
+
+_BM25_SQL = f"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(TRIM(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms
+  WHERE term != '' GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+), stats AS (
+  SELECT n_docs, (CAST(SUM(tf) AS BIGINT) * 1000) // n_docs AS avgdl_m
+  FROM tf, n GROUP BY n_docs
+), qterms AS (
+  SELECT CAST(rn // {_BM25_QLEN} AS BIGINT) AS query_id, term, df FROM (
+    SELECT term, df,
+           ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) - 1 AS rn
+    FROM dfreq, n
+    WHERE df * 20 >= n_docs AND df * 10 <= n_docs * 9
+  ) WHERE rn < {_BM25_QUERIES * _BM25_QLEN}
+), scored AS (
+  SELECT query_id, tf.doc_id,
+         CAST(SUM(
+           (((n_docs - df) * 2000 + 1000) // (2 * df + 1))
+           * ((22000 * tf * avgdl_m)
+              // (10 * tf * avgdl_m + 3 * avgdl_m + 9000 * dl))
+         ) AS BIGINT) AS score_micro
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score_micro FROM (
+  SELECT query_id, doc_id, score_micro,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_BM25_TOPK}
+"""
+
+EXTRA_QUERIES_CORPUS["bm25_topk"] = q_bm25_topk
+EXTRA_ORACLES_CORPUS["bm25_topk"] = _BM25_SQL
+
+
 QUERIES_CORPUS = {
     "tfidf_keywords": q_tfidf_keywords,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
