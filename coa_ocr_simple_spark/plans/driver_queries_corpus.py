@@ -306,6 +306,133 @@ EXTRA_QUERIES_CORPUS = {"pii_scan": q_pii_scan}
 EXTRA_ORACLES_CORPUS = {"pii_scan": _pii_scan_sql()}
 
 
+# --- encoding-artifact (mojibake) detection ------------------------------------------------
+#
+# The C4/CCNet-class cleaning step the quality family lacked: flag docs
+# carrying UTF-8-as-Latin-1 mojibake digraphs, U+FFFD replacement
+# characters, and stray C0 control characters, and emit the md5 of the
+# scrubbed payload.  The generic corpus is clean ASCII prose (zero
+# artifacts on both engines verifies nothing), so the query runs over a
+# deterministically MANGLED twin of the documents table — the
+# _synth_docs pattern of driver_queries_core: doc_id % 6 picks an
+# injection (mojibake / replacement / control / all three / untouched),
+# arguments are pure doc_id arithmetic, and both engines build the
+# identical artifact strings (Spark from unicode literals — its chr()
+# truncates codepoints mod 256 — DuckDB from chr(codepoint)).
+#
+# All counts are replace-diff integers ((len - len(replace(t, seq, '')))
+# DIV len(seq)) — no regex, so no Java-vs-RE2 class semantics in play.
+
+_MOJI_E = "Ã©"  # 'é' UTF-8 bytes re-decoded as Latin-1
+_MOJI_Q = "â€™"  # ''' UTF-8 bytes re-decoded as CP1252
+_REPL = "�"
+_CTL = ["\u0001", "\u0007", "\u000b"]  # C0 controls (tab/newline excluded)
+
+
+def _mangled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    t = F.col("text")
+    moji_q = F.repeat(F.lit(_MOJI_Q), (d % 3 + 1).cast("int"))
+    variants = {
+        1: F.concat(t, F.lit(" caf" + _MOJI_E), moji_q),
+        2: F.concat(F.repeat(F.lit(_REPL), (d % 4 + 1).cast("int")), t),
+        3: F.concat(
+            t,
+            F.repeat(F.lit(_CTL[0] + _CTL[1]), (d % 2 + 1).cast("int")),
+            F.lit(_CTL[2]),
+        ),
+        4: F.concat(F.lit(_REPL), t, F.lit(_MOJI_Q + _CTL[0])),
+    }
+    text = None
+    for i, branch in variants.items():
+        cond = d % 6 == i
+        text = F.when(cond, branch) if text is None else text.when(cond, branch)
+    return docs.select("doc_id", text.otherwise(t).alias("text"))
+
+
+def _cnt(col, seq: str):
+    diff = F.length(col) - F.length(F.replace(col, F.lit(seq), F.lit("")))
+    return (diff / F.lit(len(seq))).cast("long")
+
+
+def q_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc encoding-artifact scan over the mangled corpus: mojibake
+    digraph count, replacement-char count, control-char count, a
+    clean/dirty gate, and the md5 of the scrubbed text (artifacts
+    removed) — the payload a curation rewrite would keep.  One
+    projection, zero joins, zero shuffles beyond the scan."""
+    docs = _mangled_docs(spark, sf_dir)
+    t = F.col("text")
+    n_moji = (_cnt(t, _MOJI_E) + _cnt(t, _MOJI_Q)).alias("n_moji")
+    n_repl = _cnt(t, _REPL).alias("n_repl")
+    n_ctl = (
+        _cnt(t, _CTL[0]) + _cnt(t, _CTL[1]) + _cnt(t, _CTL[2])
+    ).alias("n_ctl")
+    scrubbed = t
+    for seq in [_MOJI_E, _MOJI_Q, _REPL] + _CTL:
+        scrubbed = F.replace(scrubbed, F.lit(seq), F.lit(""))
+    return docs.select(
+        "doc_id",
+        n_moji,
+        n_repl,
+        n_ctl,
+        (
+            (_cnt(t, _MOJI_E) + _cnt(t, _MOJI_Q) + _cnt(t, _REPL))
+            + (_cnt(t, _CTL[0]) + _cnt(t, _CTL[1]) + _cnt(t, _CTL[2]))
+            == 0
+        )
+        .cast("long")
+        .alias("is_clean"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+def _encoding_sql() -> str:
+    moji_e = "chr(195) || chr(169)"
+    moji_q = "chr(226) || chr(8364) || chr(8482)"
+    repl = "chr(65533)"
+    c = ["chr(1)", "chr(7)", "chr(11)"]
+
+    def cnt(seq_expr: str, n: int) -> str:
+        return (
+            f"CAST((length(t) - length(replace(t, {seq_expr}, ''))) // {n}"
+            " AS BIGINT)"
+        )
+
+    scrub = "t"
+    for seq in [moji_e, moji_q, repl] + c:
+        scrub = f"replace({scrub}, {seq}, '')"
+    total = " + ".join(
+        [cnt(moji_e, 2), cnt(moji_q, 3), cnt(repl, 1)]
+        + [cnt(x, 1) for x in c]
+    )
+    return f"""
+WITH synth AS (
+  SELECT doc_id, CASE doc_id % 6
+    WHEN 1 THEN text || ' caf' || {moji_e}
+                || repeat({moji_q}, CAST(doc_id % 3 + 1 AS INT))
+    WHEN 2 THEN repeat({repl}, CAST(doc_id % 4 + 1 AS INT)) || text
+    WHEN 3 THEN text || repeat({c[0]} || {c[1]}, CAST(doc_id % 2 + 1 AS INT))
+                || {c[2]}
+    WHEN 4 THEN {repl} || text || {moji_q} || {c[0]}
+    ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       {cnt(moji_e, 2)} + {cnt(moji_q, 3)} AS n_moji,
+       {cnt(repl, 1)} AS n_repl,
+       {cnt(c[0], 1)} + {cnt(c[1], 1)} + {cnt(c[2], 1)} AS n_ctl,
+       CAST(({total}) = 0 AS BIGINT) AS is_clean,
+       md5({scrub}) AS scrubbed_md5
+FROM synth
+"""
+
+
+EXTRA_QUERIES_CORPUS["encoding_artifacts"] = q_encoding_artifacts
+EXTRA_ORACLES_CORPUS["encoding_artifacts"] = _encoding_sql()
+
+
 # --- train/test contamination ------------------------------------------------------------
 
 
