@@ -1,0 +1,121 @@
+"""spark-submit CLI for the persisted IVF-PQ index (build / search).
+
+    python -m coa_ocr_simple_spark.jobs.ann_index build \\
+        --embeddings /path/embeddings.parquet --index /path/index
+
+    python -m coa_ocr_simple_spark.jobs.ann_index search \\
+        --index /path/index --queries /path/queries.parquet \\
+        --output /path/hits [--nprobe 2] [--topk 5] \\
+        [--rerank 32 --vectors /path/embeddings.parquet] \\
+        [--exclude-self]
+
+``build`` writes three parquet tables under --index: centroids/,
+codebook/, codes/ (see plans/ann_index.py for the layout and the scale
+shape).  ``search`` loads them and answers a query table of
+(vec_id, embedding) rows; --rerank refines the ADC shortlist by exact
+integer dot product against --vectors (the table the index was built
+from).  Both outputs are overwrite-mode: re-runs replace, never
+accumulate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.ann_index import (
+    build_index_frames,
+    quantized,
+    search_index_frames,
+)
+from ..sources.tables import TableIO
+
+
+def run_build(args: argparse.Namespace, spark: SparkSession) -> dict:
+    io = TableIO(spark)
+    emb = quantized(io.read(args.embeddings)).persist()
+    emb.count()  # seed scan, Lloyd and assignment all consume it
+    centroids, codebook, codes = build_index_frames(emb)
+    io.overwrite(centroids, f"{args.index}/centroids")
+    io.overwrite(codebook, f"{args.index}/codebook")
+    io.overwrite(codes, f"{args.index}/codes")
+    summary = {
+        "n_vectors": codes.count(),
+        "n_centroids": centroids.count(),
+        "codebook_rows": codebook.count(),
+    }
+    emb.unpersist()
+    codebook.unpersist()
+    return summary
+
+
+def run_search(args: argparse.Namespace, spark: SparkSession) -> dict:
+    io = TableIO(spark)
+    centroids = io.read(f"{args.index}/centroids")
+    codebook = io.read(f"{args.index}/codebook")
+    codes = io.read(f"{args.index}/codes")
+    queries = quantized(io.read(args.queries))
+    vectors = quantized(io.read(args.vectors)) if args.vectors else None
+    hits = search_index_frames(
+        queries,
+        centroids,
+        codebook,
+        codes,
+        nprobe=args.nprobe,
+        topk=args.topk,
+        rerank=args.rerank,
+        vectors=vectors,
+        exclude_self=args.exclude_self,
+    ).persist()
+    io.overwrite(hits, args.output)
+    summary = {
+        "n_queries": hits.select("query_id").distinct().count(),
+        "n_hits": hits.count(),
+        "nprobe": args.nprobe,
+        "rerank": args.rerank,
+    }
+    hits.unpersist()
+    return summary
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="persisted IVF-PQ index")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--embeddings", required=True)
+    b.add_argument("--index", required=True)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--queries", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--nprobe", type=int, default=2)
+    s.add_argument("--topk", type=int, default=5)
+    s.add_argument("--rerank", type=int, default=0)
+    s.add_argument("--vectors", default=None)
+    s.add_argument("--exclude-self", action="store_true")
+
+    for q in (b, s):
+        q.add_argument("--master", default=None)
+        q.add_argument("--shuffle-partitions", type=int, default=None)
+        q.add_argument("--conf", action="append", default=[])
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    from .extract import make_session
+
+    args = parse_args(argv)
+    spark = make_session(
+        "coa-ann-index", args.master, args.shuffle_partitions, args.conf
+    )
+    fn = run_build if args.cmd == "build" else run_search
+    print(json.dumps(fn(args, spark), sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()

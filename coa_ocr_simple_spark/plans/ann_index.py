@@ -1,0 +1,217 @@
+"""Persisted IVF-PQ index: build-once / search-many.
+
+The oracle-checked ANN queries (driver_queries_ext) rebuild centroids,
+codebook and codes inline from the embeddings table on every call —
+right for a self-contained query, wrong for production, where the index
+is built once and amortized over every search.  This module splits the
+two halves around a stored layout:
+
+- ``centroids``  (centroid_id, cv)           — coarse quantizer, tiny
+- ``codebook``   (m, code, cwv)              — Lloyd-refined, M*K rows,
+                                               _PQ_LLOYD_Q fixed point
+- ``codes``      (vec_id, centroid_id, codes) — ONE row per vector,
+  the M codebook assignments packed as array<long> ordered by subspace
+  (the 16-bytes-per-vector layout that makes PQ worth storing)
+
+Search never touches raw vectors except the optional refine step, which
+fetches ONLY the ADC shortlist's rows from a caller-supplied vector
+table (FAISS IndexRefineFlat shape, same as ann_ivfpq_rerank).
+
+Scale notes: the centroid set and codebook broadcast; routing is a
+bounded per-query rank over |centroids|; candidate scoring is an
+equi-join on centroid_id (hot lists excluded by _MAX_IVF_LIST, as in
+the inline queries); the packed-code explode is a STORED cheap column,
+so the InferFiltersFromGenerate expensive-array hazard does not apply.
+
+Parity: tests/test_ann_index_job.py pins that searching loaded-from-
+disk frames equals searching the in-memory frames bit-for-bit, and
+that a query present in the index refines to itself at rank 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .driver_queries_ext import (
+    _IVF_CENTROID_MOD,
+    _MAX_IVF_LIST,
+    _PQ_LLOYD_Q,
+    _pq_codebook_lloyd,
+    _pq_codes_df,
+    _pq_subspace_explode,
+    _quantize,
+)
+
+
+def quantized(emb_raw: DataFrame) -> DataFrame:
+    """(vec_id, qv): the shared integer quantization of an embeddings
+    table (round(x*1000), the cross-engine recipe)."""
+    return emb_raw.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+
+
+def build_index_frames(
+    emb: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(centroids, codebook, codes) from a quantized embeddings frame.
+
+    ``emb`` feeds the seed scan, the Lloyd refinement and the final
+    assignment — persist+fill it before calling (the job does)."""
+    centroids = emb.where(F.col("vec_id") % _IVF_CENTROID_MOD == 1).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv")
+    )
+    codebook = _pq_codebook_lloyd(emb).persist()
+    codebook.count()  # heavy subtree, two consumers (codes + callers)
+
+    cdot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cdot"), F.asc("centroid_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "centroid_id", cdot.alias("cdot"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    pq = _pq_codes_df(emb, codebook, scale=_PQ_LLOYD_Q).select(
+        "vec_id", "m", "code"
+    )
+    packed = pq.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+    codes = assigned.join(packed, "vec_id").select(
+        "vec_id", "centroid_id", "codes"
+    )
+    return centroids, codebook, codes
+
+
+def search_index_frames(
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    *,
+    nprobe: int = 2,
+    topk: int = 5,
+    rerank: int = 0,
+    vectors: DataFrame | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Search a stored IVF-PQ index.
+
+    ``queries``: (vec_id, qv) quantized query vectors.  ``rerank`` > 0
+    refines the ADC top-``rerank`` shortlist by exact integer dot
+    product against ``vectors`` (vec_id, qv) — the raw-vector table the
+    index was built from.  ``exclude_self`` drops candidates whose
+    vec_id equals the query's (dedup-style search)."""
+    if rerank and vectors is None:
+        raise ValueError("rerank requires the raw-vector table")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+
+    qside = queries.select(F.col("vec_id").alias("query_id"), "qv")
+    cdot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wroute = Window.partitionBy("query_id").orderBy(
+        F.desc("cdot"), F.asc("centroid_id")
+    )
+    routed = (
+        qside.crossJoin(F.broadcast(centroids))
+        .select("query_id", "centroid_id", cdot.alias("cdot"))
+        .withColumn("rn", F.row_number().over(wroute))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+
+    ok_lists = (
+        codes.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("_l_n"))
+        .where(F.col("_l_n") <= _MAX_IVF_LIST)
+        .select("centroid_id")
+    )
+    cands = (
+        codes.join(ok_lists, "centroid_id", "left_semi")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "centroid_id",
+            F.posexplode("codes").alias("m", "code"),
+        )
+        .select("neighbor_id", "centroid_id", F.col("m").cast("long"), "code")
+    )
+
+    qsubs = _pq_subspace_explode(qside.withColumnRenamed("query_id", "vec_id"))
+    qd2 = F.aggregate(
+        F.zip_with(
+            F.transform("sub", lambda x: x * _PQ_LLOYD_Q),
+            F.col("cwv"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        qsubs.join(F.broadcast(codebook), "m")
+        .select(
+            F.col("vec_id").alias("query_id"), "m", "code", qd2.alias("qd2")
+        )
+    )
+
+    scored = (
+        routed.join(cands, "centroid_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd2").alias("adc_q"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+
+    if rerank:
+        wa = Window.partitionBy("query_id").orderBy(
+            F.asc("adc_q"), F.asc("neighbor_id")
+        )
+        shortlist = (
+            scored.withColumn("arn", F.row_number().over(wa))
+            .where(F.col("arn") <= rerank)
+            .select("query_id", "neighbor_id")
+        )
+        nvecs = vectors.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("n_vec")
+        )
+        qvecs = qside.select("query_id", F.col("qv").alias("q_vec"))
+        dot = F.aggregate(
+            F.zip_with("q_vec", "n_vec", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        exact = (
+            shortlist.join(nvecs, "neighbor_id")
+            .join(qvecs, "query_id")
+            .select("query_id", "neighbor_id", dot.alias("dot_q"))
+        )
+        wx = Window.partitionBy("query_id").orderBy(
+            F.desc("dot_q"), F.asc("neighbor_id")
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(wx).cast("long"))
+            .where(F.col("rank") <= topk)
+            .select("query_id", "rank", "neighbor_id", "dot_q")
+        )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_q"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "rank", "neighbor_id", "adc_q")
+    )

@@ -1,0 +1,113 @@
+"""Persisted IVF-PQ index: build/search round-trip parity.
+
+The inline ANN queries are oracle-checked; what the index job adds is
+the STORE/LOAD boundary (packed-code layout, Q-scaled codebook on
+parquet), so the pin here is: searching frames loaded from disk equals
+searching the same frames in memory, bit for bit, on both the ADC and
+the rerank paths — plus the self-hit and exclude-self invariants a
+stored index must satisfy.
+"""
+
+from __future__ import annotations
+
+from coa_ocr_simple_spark.jobs.ann_index import parse_args, run_build, run_search
+from coa_ocr_simple_spark.plans.ann_index import (
+    build_index_frames,
+    quantized,
+    search_index_frames,
+)
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_build_search_roundtrip_and_self_hit(spark, tmp_path):
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "hits")
+    build_summary = run_build(
+        parse_args(["build", "--embeddings", EMB, "--index", index]), spark
+    )
+    emb = quantized(spark.read.parquet(EMB))
+    n = emb.count()
+    assert build_summary["n_vectors"] == n
+
+    # queries: the same deterministic subset the inline queries use
+    from pyspark.sql import functions as F
+
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+
+    # loaded-from-disk frames vs in-memory frames: identical results
+    centroids = spark.read.parquet(f"{index}/centroids")
+    codebook = spark.read.parquet(f"{index}/codebook")
+    codes = spark.read.parquet(f"{index}/codes")
+    emb_p = emb.persist()
+    emb_p.count()
+    mem_centroids, mem_codebook, mem_codes = build_index_frames(emb_p)
+
+    for kwargs in (
+        {"nprobe": 2, "rerank": 32, "vectors": emb},
+        {"nprobe": 1},
+    ):
+        from_disk = search_index_frames(
+            queries, centroids, codebook, codes, **kwargs
+        )
+        in_mem = search_index_frames(
+            queries, mem_centroids, mem_codebook, mem_codes, **kwargs
+        )
+        assert _rows(from_disk) == _rows(in_mem)
+        spark.catalog.clearCache()
+
+    # a query that IS in the index must refine to itself at rank 1
+    # (its ADC distance is pure quantization error, so it makes the
+    # shortlist, and the exact dot against itself wins on this corpus)
+    hits = search_index_frames(
+        queries, centroids, codebook, codes, nprobe=2, rerank=32, vectors=emb
+    ).collect()
+    spark.catalog.clearCache()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in hits if r["rank"] == 1}
+    assert top1 and all(q == n_ for q, n_ in top1.items())
+
+    # exclude_self drops exactly the self rows from the candidate pool
+    noself = search_index_frames(
+        queries,
+        centroids,
+        codebook,
+        codes,
+        nprobe=2,
+        rerank=32,
+        vectors=emb,
+        exclude_self=True,
+    ).collect()
+    spark.catalog.clearCache()
+    assert all(r["query_id"] != r["neighbor_id"] for r in noself)
+
+    # the search CLI writes the same hits it computes (overwrite on rerun)
+    for _ in range(2):
+        search_summary = run_search(
+            parse_args(
+                [
+                    "search",
+                    "--index",
+                    index,
+                    "--queries",
+                    EMB,
+                    "--output",
+                    out,
+                    "--nprobe",
+                    "2",
+                    "--rerank",
+                    "32",
+                    "--vectors",
+                    EMB,
+                ]
+            ),
+            spark,
+        )
+    written = spark.read.parquet(out)
+    assert written.count() == search_summary["n_hits"]
+    # every vector served as a query and at least found itself
+    assert search_summary["n_queries"] == n
+    emb_p.unpersist()
