@@ -369,6 +369,25 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         n_live -= summary["n_fully_cut_docs"]
         summary["n_after_span_cut"] = n_live
 
+    if args.encoding_clean:
+        # encoding scrub (before the PII scrub, which stays last): strip
+        # mojibake digraphs, U+FFFD and C0 controls from the payload.
+        # Stateless projection, no joins, no doc drops.
+        from ..plans.driver_queries_corpus import (
+            count_encoding_artifacts,
+            scrub_encoding,
+        )
+
+        summary["n_encoding_artifacts_scrubbed"] = int(
+            curated.agg(
+                F.sum(count_encoding_artifacts(F.col("text"))).alias("n")
+            ).collect()[0]["n"]
+            or 0
+        )
+        curated = curated.withColumn(
+            "text", scrub_encoding(F.col("text"))
+        ).withColumn("n_chars", F.length("text").cast("long"))
+
     if args.pii_scrub:
         # PII scrub (always the LAST rewrite: earlier rewrites must not
         # resurrect scrubbed spans).  A pure stateless projection — no
@@ -533,6 +552,13 @@ def parse_args(argv=None) -> argparse.Namespace:
         choices=[0.5, 0.75],
         help="mixture temperature for --lang-rebalance (0.75 downsamples "
         "the head language more gently)",
+    )
+    p.add_argument(
+        "--encoding-clean",
+        action="store_true",
+        help="payload rewrite: strip mojibake digraphs, U+FFFD "
+        "replacement chars and stray C0 controls (runs before "
+        "--pii-scrub, which stays the final rewrite)",
     )
     p.add_argument(
         "--pii-scrub",

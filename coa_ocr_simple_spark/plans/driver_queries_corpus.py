@@ -356,6 +356,28 @@ def _cnt(col, seq: str):
     return (diff / F.lit(len(seq))).cast("long")
 
 
+def scrub_encoding(text):  # text: Column
+    """Remove every tracked encoding artifact (mojibake digraphs,
+    replacement chars, C0 controls) — the payload rewrite behind
+    ``curate --encoding-clean``.  Plain replace chain, JVM-side."""
+    out = text
+    for seq in [_MOJI_E, _MOJI_Q, _REPL] + _CTL:
+        out = F.replace(out, F.lit(seq), F.lit(""))
+    return out
+
+
+def count_encoding_artifacts(text):  # text: Column
+    """Total artifact occurrences in ``text`` (the scrub counter)."""
+    return (
+        _cnt(text, _MOJI_E)
+        + _cnt(text, _MOJI_Q)
+        + _cnt(text, _REPL)
+        + _cnt(text, _CTL[0])
+        + _cnt(text, _CTL[1])
+        + _cnt(text, _CTL[2])
+    )
+
+
 def q_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc encoding-artifact scan over the mangled corpus: mojibake
     digraph count, replacement-char count, control-char count, a
@@ -369,9 +391,7 @@ def q_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_ctl = (
         _cnt(t, _CTL[0]) + _cnt(t, _CTL[1]) + _cnt(t, _CTL[2])
     ).alias("n_ctl")
-    scrubbed = t
-    for seq in [_MOJI_E, _MOJI_Q, _REPL] + _CTL:
-        scrubbed = F.replace(scrubbed, F.lit(seq), F.lit(""))
+    scrubbed = scrub_encoding(t)
     return docs.select(
         "doc_id",
         n_moji,
