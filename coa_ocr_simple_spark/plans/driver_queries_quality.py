@@ -1122,6 +1122,82 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# --- CCNet perplexity buckets (head / middle / tail) ---------------------------------------
+#
+# CCNet's actual corpus split: rank documents by LM perplexity and cut
+# the corpus into terciles — head (most reference-like) feeds training
+# directly, middle gets reconsidered, tail is dropped or down-weighted.
+# The tercile thresholds are corpus-wide order statistics, computed here
+# the length_quantiles way: a VALUE-DOMAIN histogram, not a global sort.
+# mille_bits lives in [0, _LM_UNSEEN_BITS * 1000] (the unseen penalty is
+# the per-bigram maximum), so the histogram / cumsum window input is a
+# CONSTANT <= 20001 rows at any corpus size.  Docs sharing a score share
+# a bucket; a value straddling a boundary spills to the later bucket
+# (deterministic, mirrored in the oracle).
+
+
+def ccnet_ppl_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, mille_bits, ppl_bucket): tercile label per document
+    under the lm_perplexity score — 0 = head, 1 = middle, 2 = tail."""
+    scores = lm_perplexity(docs).select("doc_id", "mille_bits")
+    # the LM scoring subtree (bigram explode + two dimension joins)
+    # dominates the schedule and feeds three consumers below — the
+    # bands-cache case, so persist WITH an eager fill
+    from pyspark.sql import Window
+
+    scores = scores.persist(StorageLevel.MEMORY_AND_DISK)
+    scores.count()
+    hist = scores.groupBy("mille_bits").agg(F.count(F.lit(1)).alias("c"))
+    # bounded global window: <= _LM_UNSEEN_BITS*1000 + 1 distinct values
+    wv = Window.orderBy("mille_bits").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wv))
+    n_tot = scores.agg(F.count(F.lit(1)).alias("n"))
+    bucket = (
+        F.when(F.col("cum") * 3 <= F.col("n"), 0)
+        .when(F.col("cum") * 3 <= F.col("n") * 2, 1)
+        .otherwise(2)
+        .cast("long")
+    )
+    vmap = cum.crossJoin(F.broadcast(n_tot)).select(
+        "mille_bits", bucket.alias("ppl_bucket")
+    )
+    return scores.join(F.broadcast(vmap), "mille_bits").select(
+        "doc_id", "mille_bits", "ppl_bucket"
+    )
+
+
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ccnet_ppl_buckets(_docs(spark, sf_dir))
+
+
+_CCNET_BUCKETS_SQL = f"""
+WITH {_LM_CTES}, sc AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(p.total_bits * 1000 // p.n_bigrams, 0) AS BIGINT)
+           AS mille_bits
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+), hist AS (
+  SELECT mille_bits, CAST(COUNT(*) AS BIGINT) AS c FROM sc GROUP BY mille_bits
+), cum AS (
+  SELECT mille_bits,
+         CAST(SUM(c) OVER (ORDER BY mille_bits) AS BIGINT) AS cum
+  FROM hist
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc
+), vmap AS (
+  SELECT mille_bits,
+         CAST(CASE WHEN cum * 3 <= n THEN 0
+                   WHEN cum * 3 <= n * 2 THEN 1
+                   ELSE 2 END AS BIGINT) AS ppl_bucket
+  FROM cum, n
+)
+SELECT sc.doc_id, sc.mille_bits, vmap.ppl_bucket
+FROM sc JOIN vmap USING (mille_bits)
+"""
+
+
 # --- full Gopher n-gram repetition table --------------------------------------------------
 
 # Rae et al. 2021, Appendix A1.1, the remaining repetition filters:
@@ -2191,6 +2267,7 @@ EXTRA_QUERIES_QUALITY = {
     "nb_quality_classifier": q_nb_quality_classifier,
     "quality_weighted_sample": q_quality_weighted_sample,
     "char_entropy_stats": q_char_entropy_stats,
+    "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
 }
 EXTRA_ORACLES_QUALITY = {
     "sequence_packing": _PACKING_SQL,
@@ -2201,4 +2278,5 @@ EXTRA_ORACLES_QUALITY = {
     "nb_quality_classifier": _NB_SQL,
     "quality_weighted_sample": _QWS_SQL,
     "char_entropy_stats": _CHAR_ENTROPY_SQL,
+    "ccnet_ppl_buckets": _CCNET_BUCKETS_SQL,
 }

@@ -103,3 +103,31 @@ def test_lm_perplexity_unseen_penalty_and_gate(spark):
     assert got[2]["mille_bits"] < got[3]["mille_bits"]
     assert got[4]["n_bigrams"] == 0 and got[4]["total_bits"] == 0
     assert got[4]["mille_bits"] == 0 and not got[4]["is_fluent"]
+
+
+def test_ccnet_buckets_are_monotone_terciles(spark):
+    """ccnet_ppl_buckets: bucket labels are monotone in mille_bits
+    (every head score <= every middle score <= every tail score), the
+    cumulative-count boundaries hold exactly (head holds at most n/3
+    docs, head+middle at most 2n/3 — value ties spill LATER by
+    definition), and equal scores always share a bucket."""
+    from coa_ocr_simple_spark.plans.driver_queries_quality import (
+        ccnet_ppl_buckets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = ccnet_ppl_buckets(docs).collect()
+    spark.catalog.clearCache()
+    n = len(rows)
+    assert n == docs.count()
+    by_bucket = collections.defaultdict(list)
+    score_bucket = {}
+    for r in rows:
+        by_bucket[r["ppl_bucket"]].append(r["mille_bits"])
+        prev = score_bucket.setdefault(r["mille_bits"], r["ppl_bucket"])
+        assert prev == r["ppl_bucket"]  # ties share a bucket
+    assert sorted(by_bucket) == [0, 1, 2]
+    assert max(by_bucket[0]) <= min(by_bucket[1])
+    assert max(by_bucket[1]) <= min(by_bucket[2])
+    assert len(by_bucket[0]) * 3 <= n
+    assert (len(by_bucket[0]) + len(by_bucket[1])) * 3 <= 2 * n
