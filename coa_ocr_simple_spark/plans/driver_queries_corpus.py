@@ -18,8 +18,13 @@ large-scale training-data pipeline needs beyond dedup and quality.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 from .driver_queries import _docs, _read
 from .driver_queries_dedup import _MIN_BANDS_AGREE, minhash_candidate_pairs
@@ -451,6 +456,98 @@ FROM synth
 
 EXTRA_QUERIES_CORPUS["encoding_artifacts"] = q_encoding_artifacts
 EXTRA_ORACLES_CORPUS["encoding_artifacts"] = _encoding_sql()
+
+
+# --- Unicode NFC normalization --------------------------------------------------------------
+#
+# The Dolma-class canonicalization step: decomposed sequences (e +
+# combining acute), compatibility singletons (U+212B ANGSTROM SIGN) and
+# friends must map to one canonical form before any hash-based dedup —
+# two byte-different spellings of the same text otherwise defeat exact
+# dedup and fingerprinting.  Spark has no built-in NFC, so this is a
+# deliberate Arrow-batch pandas-UDF operator (unicodedata.normalize —
+# the parity path, like the fingerprint/classify UDFs); the DuckDB
+# oracle uses its native nfc_normalize, verified to agree with Python's
+# unicodedata on the injected sequences (both implement Unicode NFC).
+#
+# The generic corpus is ASCII (NFC is the identity — verifies nothing),
+# so the query runs over a mangled twin injecting real non-NFC text:
+# doc_id % 4 = 1 appends a decomposed acute, 2 appends 1-2 decomposed
+# ring-As, 3 appends the Angstrom compatibility singleton (same LENGTH
+# after NFC, different codepoint — catches length-only shortcuts).
+
+_NFC_ACUTE = "e\u0301"  # decomposed -> U+00E9 (shrinks)
+_NFC_RING = "A\u030a"  # decomposed -> U+00C5 (shrinks)
+_NFC_ANGSTROM = "\u212b"  # singleton -> U+00C5 (same length, new codepoint)
+
+
+def _nfc_mangled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    t = F.col("text")
+    variants = {
+        1: F.concat(t, F.lit(" Caf" + _NFC_ACUTE)),
+        2: F.concat(  # doc_id%4==2 means even ids: vary on bit 2 instead
+            t, F.repeat(F.lit(_NFC_RING), ((d % 8) / 4 + 1).cast("int"))
+        ),
+        3: F.concat(t, F.lit(" 1" + _NFC_ANGSTROM)),
+    }
+    text = None
+    for i, branch in variants.items():
+        cond = d % 4 == i
+        text = F.when(cond, branch) if text is None else text.when(cond, branch)
+    return docs.select("doc_id", text.otherwise(t).alias("text"))
+
+
+@pandas_udf(StringType())
+def _nfc_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    import unicodedata
+
+    for texts in batches:
+        yield pd.Series(
+            [
+                unicodedata.normalize("NFC", t) if t else t
+                for t in texts
+            ],
+            dtype="object",
+        )
+
+
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc NFC canonicalization report: changed flag, char counts
+    before/after, md5 of the canonical text.  One projection; the UDF
+    is the only Python boundary (Arrow-batched, partition-preserving,
+    no shuffle)."""
+    docs = _nfc_mangled(spark, sf_dir)
+    nfc = _nfc_udf(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_before"),
+        F.length(nfc).cast("long").alias("n_after"),
+        (nfc != F.col("text")).cast("long").alias("is_changed"),
+        F.md5(nfc).alias("nfc_md5"),
+    )
+
+
+_NFC_SQL = """
+WITH synth AS (
+  SELECT doc_id, CASE doc_id % 4
+    WHEN 1 THEN text || ' Caf' || chr(101) || chr(769)
+    WHEN 2 THEN text || repeat(chr(65) || chr(778), CAST(doc_id % 8 // 4 + 1 AS INT))
+    WHEN 3 THEN text || ' 1' || chr(8491)
+    ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_before,
+       CAST(length(nfc_normalize(t)) AS BIGINT) AS n_after,
+       CAST(nfc_normalize(t) != t AS BIGINT) AS is_changed,
+       md5(nfc_normalize(t)) AS nfc_md5
+FROM synth
+"""
+
+EXTRA_QUERIES_CORPUS["nfc_normalize"] = q_nfc_normalize
+EXTRA_ORACLES_CORPUS["nfc_normalize"] = _NFC_SQL
 
 
 # --- train/test contamination ------------------------------------------------------------
