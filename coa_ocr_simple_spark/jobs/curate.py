@@ -199,6 +199,24 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
             final, final.join(kept, "doc_id", "left_semi"), "n_after_perplexity"
         )
 
+    if args.drop_ppl_tail:
+        # CCNet's actual corpus split: tercile the survivors by LM
+        # perplexity and drop the tail (head+middle ship).  Adaptive —
+        # no fixed bits budget to tune, the thresholds are the
+        # survivors' own order statistics (value-domain histogram,
+        # constant-bounded window; see ccnet_ppl_buckets).
+        from ..plans.driver_queries_quality import ccnet_ppl_buckets
+
+        surv_docs = docs.join(final, "doc_id", "left_semi")
+        kept = (
+            ccnet_ppl_buckets(surv_docs)
+            .where(F.col("ppl_bucket") < 2)
+            .select("doc_id")
+        )
+        final = _stage(
+            final, final.join(kept, "doc_id", "left_semi"), "n_after_ppl_tail"
+        )
+
     if args.dsir_select:
         # DSIR importance selection over the survivors: hashed-n-gram
         # importance weights against the held-in target slice; keep only
@@ -484,6 +502,13 @@ def parse_args(argv=None) -> argparse.Namespace:
         "bigram-LM average exceeds this many mille-bits/bigram "
         "(LM trained on the survivors' doc_id%%10==1 slice; 5000 "
         "is the lm_perplexity head-split default)",
+    )
+    p.add_argument(
+        "--drop-ppl-tail",
+        action="store_true",
+        help="CCNet tercile stage: bucket survivors by LM perplexity "
+        "(value-domain histogram, adaptive thresholds) and drop the "
+        "tail third; head+middle ship",
     )
     p.add_argument(
         "--dsir-select",

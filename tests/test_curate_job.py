@@ -700,3 +700,44 @@ def test_curate_all_stages_compose(spark, tmp_path):
     for k in order:
         if k in summary:
             assert rep[k] == summary[k]
+
+
+def test_curate_drop_ppl_tail_stage(spark, tmp_path):
+    """--drop-ppl-tail: the adaptive CCNet tercile drops roughly the
+    most-surprising third of the survivors — the alien-bigram doc lands
+    in the tail, the most template-like docs in the head."""
+    import random
+
+    rng = random.Random(7)
+    stop = ["the", "and", "of", "to", "in", "is"]
+    base = " ".join(
+        rng.choice(stop) if k % 3 == 0 else f"w{k % 17}" for k in range(60)
+    )
+    rows = []
+    for i in range(20):
+        rows.append({"doc_id": i, "text": base + f" tail{i}"})
+    rows.append(
+        {"doc_id": 20,
+         "text": " ".join(f"alien{k} the" for k in range(30))}
+    )
+    for r in rows:
+        r.update({"lang": "en", "source": "s", "n_chars": len(r["text"])})
+    path = str(tmp_path / "tercile_docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), path)
+
+    out = str(tmp_path / "tercile_curated")
+    summary = run(
+        parse_args(
+            ["--input", path, "--output", out,
+             "--jaccard-min", "101",
+             "--drop-ppl-tail"]
+        ),
+        spark,
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    n_surv = summary["n_quality"]
+    assert 20 not in kept  # the alien doc is in the tail by construction
+    assert summary["n_after_ppl_tail"] == len(kept)
+    # terciles: at most 2/3 of survivors ship, and the head+middle are
+    # non-empty (the stage is a split, not a rubber stamp or a wipe)
+    assert 0 < len(kept) <= 2 * n_surv // 3 + 1
