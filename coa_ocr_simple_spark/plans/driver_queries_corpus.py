@@ -1129,6 +1129,74 @@ _BM25_QUERIES = 3
 _BM25_QLEN = 4
 
 
+def _bm25_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf): the shared tokenize + term-frequency agg."""
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    return terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def bm25_model(docs: DataFrame) -> DataFrame:
+    """(query_id, term, df, n_docs, avgdl_m): the static retrieval
+    model — the derived standing-query terms denormalized with the
+    reference corpus statistics every scorer needs.  At most
+    _BM25_QUERIES * _BM25_QLEN rows: broadcast wherever consumed, and
+    small enough to persist as a table for the streaming scorer
+    (streaming/bm25_stream.py)."""
+    from pyspark.sql import Window
+
+    tf = _bm25_tf(docs)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok_total = tf.agg(F.sum("tf").alias("t_total"))
+    stats = n_docs.crossJoin(tok_total).select(
+        "n_docs", F.expr("(t_total * 1000) DIV n_docs").alias("avgdl_m")
+    )
+    band = dfreq.crossJoin(F.broadcast(n_docs)).where(
+        (F.col("df") * 20 >= F.col("n_docs"))
+        & (F.col("df") * 10 <= F.col("n_docs") * 9)
+    )
+    # bounded global window: at most 20*avgdl terms satisfy df >= N/20
+    wq = Window.orderBy(F.desc("df"), F.asc("term"))
+    return (
+        band.withColumn("rn", F.row_number().over(wq) - 1)
+        .where(F.col("rn") < _BM25_QUERIES * _BM25_QLEN)
+        .select(
+            (F.col("rn") / _BM25_QLEN).cast("long").alias("query_id"),
+            "term",
+            "df",
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+
+
+def bm25_score(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """(query_id, doc_id, score_micro): BM25 of every (standing query,
+    doc) pair with at least one term match — the scorer half shared by
+    the batch query and the streaming standing-query router.  dl is a
+    per-doc property, so it derives from the scored batch itself; every
+    corpus-global quantity (df, n_docs, avgdl_m) rides the model row."""
+    tf = _bm25_tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    idf_mille = F.expr("((n_docs - df) * 2000 + 1000) DIV (2 * df + 1)")
+    tf_part_mille = F.expr(
+        "(22000 * tf * avgdl_m) DIV (10 * tf * avgdl_m + 3 * avgdl_m + 9000 * dl)"
+    )
+    return (
+        tf.join(F.broadcast(model), "term")
+        .join(dl, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (idf_mille * tf_part_mille).cast("long").alias("contrib"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score_micro"))
+    )
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 docs for 3 deterministic 4-term queries.  Shape: one
     explode -> tf hash agg feeding dfreq, dl and the match join
@@ -1142,51 +1210,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    terms = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
-    ).where(F.col("term") != "")
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    tok_total = tf.agg(F.sum("tf").alias("t_total"))
-    stats = n_docs.crossJoin(tok_total).select(
-        "n_docs", F.expr("(t_total * 1000) DIV n_docs").alias("avgdl_m")
-    )
-
-    band = dfreq.crossJoin(F.broadcast(n_docs)).where(
-        (F.col("df") * 20 >= F.col("n_docs"))
-        & (F.col("df") * 10 <= F.col("n_docs") * 9)
-    )
-    # bounded global window: at most 20*avgdl terms satisfy df >= N/20
-    wq = Window.orderBy(F.desc("df"), F.asc("term"))
-    qterms = (
-        band.withColumn("rn", F.row_number().over(wq) - 1)
-        .where(F.col("rn") < _BM25_QUERIES * _BM25_QLEN)
-        .select(
-            (F.col("rn") / _BM25_QLEN).cast("long").alias("query_id"),
-            "term",
-            "df",
-        )
-    )
-
-    idf_mille = F.expr("((n_docs - df) * 2000 + 1000) DIV (2 * df + 1)")
-    tf_part_mille = F.expr(
-        "(22000 * tf * avgdl_m) DIV (10 * tf * avgdl_m + 3 * avgdl_m + 9000 * dl)"
-    )
-    scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "query_id",
-            "doc_id",
-            (idf_mille * tf_part_mille).cast("long").alias("contrib"),
-        )
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("contrib").alias("score_micro"))
-    )
+    scored = bm25_score(docs, bm25_model(docs))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_micro"), F.asc("doc_id")
     )
