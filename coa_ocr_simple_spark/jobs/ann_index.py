@@ -3,6 +3,9 @@
     python -m coa_ocr_simple_spark.jobs.ann_index build \\
         --embeddings /path/embeddings.parquet --index /path/index
 
+    python -m coa_ocr_simple_spark.jobs.ann_index add \\
+        --embeddings /path/new_embeddings.parquet --index /path/index
+
     python -m coa_ocr_simple_spark.jobs.ann_index search \\
         --index /path/index --queries /path/queries.parquet \\
         --output /path/hits [--nprobe 2] [--topk 5] \\
@@ -11,7 +14,9 @@
 
 ``build`` writes three parquet tables under --index: centroids/,
 codebook/, codes/ (see plans/ann_index.py for the layout and the scale
-shape).  ``search`` loads them and answers a query table of
+shape).  ``add`` encodes NEW vectors with the STORED quantizer (no
+retrain — FAISS's add() contract; already-present vec_ids are skipped)
+and appends their code rows.  ``search`` loads them and answers a query table of
 (vec_id, embedding) rows; --rerank refines the ADC shortlist by exact
 integer dot product against --vectors (the table the index was built
 from).  Both outputs are overwrite-mode: re-runs replace, never
@@ -28,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..plans.ann_index import (
     build_index_frames,
+    encode_frames,
     quantized,
     search_index_frames,
 )
@@ -49,6 +55,30 @@ def run_build(args: argparse.Namespace, spark: SparkSession) -> dict:
     }
     emb.unpersist()
     codebook.unpersist()
+    return summary
+
+
+def run_add(args: argparse.Namespace, spark: SparkSession) -> dict:
+    """Incremental add: encode NEW vectors with the STORED quantizer
+    (no retrain — FAISS's add() contract) and append their code rows.
+    vec_ids already present are skipped (a replay or an overlapping
+    batch must not corrupt search with duplicate candidates)."""
+    io = TableIO(spark)
+    centroids = io.read(f"{args.index}/centroids")
+    codebook = io.read(f"{args.index}/codebook")
+    existing = io.read(f"{args.index}/codes").select("vec_id")
+    new = quantized(io.read(args.embeddings)).join(
+        existing, "vec_id", "left_anti"
+    )
+    new = new.persist()
+    n_new = new.count()  # eager fill: assignment + codes consume it
+    codes_new = encode_frames(new, centroids, codebook).persist()
+    n_added = codes_new.count()
+    if n_added:
+        io.append(codes_new, f"{args.index}/codes")
+    summary = {"n_input_new": n_new, "n_added": n_added}
+    new.unpersist()
+    codes_new.unpersist()
     return summary
 
 
@@ -89,6 +119,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     b.add_argument("--embeddings", required=True)
     b.add_argument("--index", required=True)
 
+    a = sub.add_parser("add")
+    a.add_argument("--embeddings", required=True)
+    a.add_argument("--index", required=True)
+
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
     s.add_argument("--queries", required=True)
@@ -99,7 +133,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     s.add_argument("--vectors", default=None)
     s.add_argument("--exclude-self", action="store_true")
 
-    for q in (b, s):
+    for q in (b, a, s):
         q.add_argument("--master", default=None)
         q.add_argument("--shuffle-partitions", type=int, default=None)
         q.add_argument("--conf", action="append", default=[])
@@ -113,7 +147,7 @@ def main(argv=None) -> None:
     spark = make_session(
         "coa-ann-index", args.master, args.shuffle_partitions, args.conf
     )
-    fn = run_build if args.cmd == "build" else run_search
+    fn = {"build": run_build, "add": run_add, "search": run_search}[args.cmd]
     print(json.dumps(fn(args, spark), sort_keys=True))
 
 

@@ -50,19 +50,13 @@ def quantized(emb_raw: DataFrame) -> DataFrame:
     return emb_raw.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
 
 
-def build_index_frames(
-    emb: DataFrame,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(centroids, codebook, codes) from a quantized embeddings frame.
-
-    ``emb`` feeds the seed scan, the Lloyd refinement and the final
-    assignment — persist+fill it before calling (the job does)."""
-    centroids = emb.where(F.col("vec_id") % _IVF_CENTROID_MOD == 1).select(
-        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv")
-    )
-    codebook = _pq_codebook_lloyd(emb).persist()
-    codebook.count()  # heavy subtree, two consumers (codes + callers)
-
+def encode_frames(
+    emb: DataFrame, centroids: DataFrame, codebook: DataFrame
+) -> DataFrame:
+    """(vec_id, centroid_id, codes): encode vectors against an EXISTING
+    quantizer — the write path shared by the initial build and
+    incremental `add` (new vectors are encoded with the stored
+    codebook/centroids, never a retrain; FAISS's add() contract)."""
     cdot = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -87,10 +81,24 @@ def build_index_frames(
             lambda s: s["code"],
         ).alias("codes")
     )
-    codes = assigned.join(packed, "vec_id").select(
+    return assigned.join(packed, "vec_id").select(
         "vec_id", "centroid_id", "codes"
     )
-    return centroids, codebook, codes
+
+
+def build_index_frames(
+    emb: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(centroids, codebook, codes) from a quantized embeddings frame.
+
+    ``emb`` feeds the seed scan, the Lloyd refinement and the final
+    assignment — persist+fill it before calling (the job does)."""
+    centroids = emb.where(F.col("vec_id") % _IVF_CENTROID_MOD == 1).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv")
+    )
+    codebook = _pq_codebook_lloyd(emb).persist()
+    codebook.count()  # heavy subtree, two consumers (codes + callers)
+    return centroids, codebook, encode_frames(emb, centroids, codebook)
 
 
 def search_index_frames(

@@ -111,3 +111,84 @@ def test_build_search_roundtrip_and_self_hit(spark, tmp_path):
     # every vector served as a query and at least found itself
     assert search_summary["n_queries"] == n
     emb_p.unpersist()
+
+
+def test_incremental_add_encodes_with_stored_quantizer(spark, tmp_path):
+    """`add`: new vectors are encoded with the STORED codebook (no
+    retrain), land searchable (self-hit at rank 1 under refine),
+    already-present ids are skipped on replay, and the added rows are
+    bit-identical to encoding the same vectors in memory against the
+    stored quantizer frames."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from pyspark.sql import functions as F
+
+    from coa_ocr_simple_spark.jobs.ann_index import run_add
+    from coa_ocr_simple_spark.plans.ann_index import encode_frames
+
+    emb_raw = spark.read.parquet(EMB)
+    halves = {}
+    for name, parity in (("even", 0), ("odd", 1)):
+        part = emb_raw.where(F.col("vec_id") % 2 == parity)
+        path = str(tmp_path / f"{name}.parquet")
+        papq.write_table(
+            pa.Table.from_pylist([r.asDict() for r in part.collect()]), path
+        )
+        halves[name] = path
+
+    index = str(tmp_path / "index")
+    run_build(
+        parse_args(["build", "--embeddings", halves["even"], "--index", index]),
+        spark,
+    )
+    n_even = spark.read.parquet(f"{index}/codes").count()
+
+    summary = run_add(
+        parse_args(["add", "--embeddings", halves["odd"], "--index", index]),
+        spark,
+    )
+    n_odd = spark.read.parquet(halves["odd"]).count()
+    assert summary["n_added"] == n_odd
+    codes = spark.read.parquet(f"{index}/codes")
+    assert codes.count() == n_even + n_odd
+
+    # the appended rows == encoding the odd half in memory against the
+    # STORED quantizer frames (proves no retrain happened)
+    expected = encode_frames(
+        quantized(spark.read.parquet(halves["odd"])),
+        spark.read.parquet(f"{index}/centroids"),
+        spark.read.parquet(f"{index}/codebook"),
+    )
+    got_odd = codes.where(F.col("vec_id") % 2 == 1)
+    assert sorted(
+        (r["vec_id"], r["centroid_id"], tuple(r["codes"]))
+        for r in got_odd.collect()
+    ) == sorted(
+        (r["vec_id"], r["centroid_id"], tuple(r["codes"]))
+        for r in expected.collect()
+    )
+    spark.catalog.clearCache()
+
+    # an added vector is searchable: self-hit at rank 1 under refine
+    queries = quantized(emb_raw).where(F.col("vec_id") % 2 == 1).limit(3)
+    hits = search_index_frames(
+        queries,
+        spark.read.parquet(f"{index}/centroids"),
+        spark.read.parquet(f"{index}/codebook"),
+        codes,
+        nprobe=2,
+        rerank=32,
+        vectors=quantized(emb_raw),
+    ).collect()
+    spark.catalog.clearCache()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in hits if r["rank"] == 1}
+    assert top1 and all(q == n for q, n in top1.items())
+
+    # replaying the same add is a no-op
+    replay = run_add(
+        parse_args(["add", "--embeddings", halves["odd"], "--index", index]),
+        spark,
+    )
+    assert replay["n_added"] == 0
+    assert spark.read.parquet(f"{index}/codes").count() == n_even + n_odd
