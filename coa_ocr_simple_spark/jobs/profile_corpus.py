@@ -19,6 +19,10 @@ Signals (all integer-exact, each also an oracle-checked query):
                               (trained on the corpus's own Gopher-
                               labeled doc_id%10 slice, as in curate)
   ent_   char_entropy_stats   character-entropy gibberish gate
+  ppl_   ccnet_ppl_buckets    CCNet perplexity tercile (0/1/2 =
+                              head/middle/tail; corpus-relative)
+  enc_   encoding_artifact_stats  mojibake / U+FFFD / C0 counts
+  nfc_   nfc_stats            NFC canonicalization delta (pandas UDF)
 
 Usage:
   python -m coa_ocr_simple_spark.jobs.profile_corpus \\
@@ -68,6 +72,12 @@ def _signal_frames() -> dict[str, Callable[[DataFrame], DataFrame]]:
         )
         return nb_classifier_verdicts(d, train, lab)
 
+    from ..plans.driver_queries_corpus import (
+        encoding_artifact_stats,
+        nfc_stats,
+    )
+    from ..plans.driver_queries_quality import ccnet_ppl_buckets
+
     return {
         "lq": language_quality,
         "rep": repetition_stats,
@@ -78,6 +88,11 @@ def _signal_frames() -> dict[str, Callable[[DataFrame], DataFrame]]:
         "dsir": dsir_importance,
         "nb": _nb,
         "ent": char_entropy_stats,
+        # corpus-relative tercile label (0=head, 1=middle, 2=tail);
+        # mille_bits itself already rides the lm_ columns
+        "ppl": lambda d: ccnet_ppl_buckets(d).drop("mille_bits"),
+        "enc": lambda d: encoding_artifact_stats(d).drop("scrubbed_md5"),
+        "nfc": lambda d: nfc_stats(d).drop("nfc_md5"),
     }
 
 
@@ -92,6 +107,8 @@ _FLAG_COLUMNS = (
     "dsir_is_selected",
     "nb_is_quality",
     "ent_is_low_entropy",
+    "enc_is_clean",
+    "nfc_is_changed",
 )
 
 
@@ -161,8 +178,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--report", default=None, help="rollup-counts table/path")
     p.add_argument(
         "--signals",
-        default="lq,rep,gq,ng,c4,lm,dsir,nb,ent",
-        help="comma list from {lq,rep,gq,ng,c4,lm,dsir,nb,ent} (default: all)",
+        default="lq,rep,gq,ng,c4,lm,dsir,nb,ent,ppl,enc,nfc",
+        help="comma list from {lq,rep,gq,ng,c4,lm,dsir,nb,ent,ppl,enc,"
+        "nfc} (default: all)",
     )
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)

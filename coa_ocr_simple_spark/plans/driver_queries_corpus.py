@@ -383,13 +383,12 @@ def count_encoding_artifacts(text):  # text: Column
     )
 
 
-def q_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc encoding-artifact scan over the mangled corpus: mojibake
-    digraph count, replacement-char count, control-char count, a
-    clean/dirty gate, and the md5 of the scrubbed text (artifacts
-    removed) — the payload a curation rewrite would keep.  One
-    projection, zero joins, zero shuffles beyond the scan."""
-    docs = _mangled_docs(spark, sf_dir)
+def encoding_artifact_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc encoding-artifact scan over ANY documents frame —
+    DataFrame-level so profile_corpus can run it over real docs (the
+    registered query feeds it the mangled twin, where every branch is
+    live).  One projection, zero joins, zero shuffles beyond the
+    scan."""
     t = F.col("text")
     n_moji = (_cnt(t, _MOJI_E) + _cnt(t, _MOJI_Q)).alias("n_moji")
     n_repl = _cnt(t, _REPL).alias("n_repl")
@@ -411,6 +410,12 @@ def q_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_clean"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+def q_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered query: the scan over the deterministically
+    mangled corpus twin (every injection branch live, oracle-exact)."""
+    return encoding_artifact_stats(_mangled_docs(spark, sf_dir))
 
 
 def _encoding_sql() -> str:
@@ -513,12 +518,11 @@ def _nfc_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         )
 
 
-def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc NFC canonicalization report: changed flag, char counts
-    before/after, md5 of the canonical text.  One projection; the UDF
-    is the only Python boundary (Arrow-batched, partition-preserving,
-    no shuffle)."""
-    docs = _nfc_mangled(spark, sf_dir)
+def nfc_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc NFC canonicalization report over ANY documents frame:
+    changed flag, char counts before/after, md5 of the canonical text.
+    One projection; the UDF is the only Python boundary (Arrow-batched,
+    partition-preserving, no shuffle)."""
     nfc = _nfc_udf(F.col("text"))
     return docs.select(
         "doc_id",
@@ -527,6 +531,12 @@ def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nfc != F.col("text")).cast("long").alias("is_changed"),
         F.md5(nfc).alias("nfc_md5"),
     )
+
+
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered query: the report over the mangled twin (every
+    injection branch live, oracle-exact vs DuckDB nfc_normalize)."""
+    return nfc_stats(_nfc_mangled(spark, sf_dir))
 
 
 _NFC_SQL = """

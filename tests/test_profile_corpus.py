@@ -62,9 +62,15 @@ def test_profile_all_signals_wide_table(spark, tmp_path):
         "dsir_weight_bits", "dsir_is_selected",
         "nb_mille_llr", "nb_is_quality",
         "ent_ent_nbits", "ent_is_low_entropy",
+        "ppl_ppl_bucket",
+        "enc_n_moji", "enc_n_repl", "enc_n_ctl", "enc_is_clean",
+        "nfc_n_before", "nfc_n_after", "nfc_is_changed",
     ):
         assert col in attrs.columns, col
     assert "c4_text_clean" not in attrs.columns  # payload stays out
+    assert "enc_scrubbed_md5" not in attrs.columns  # attributes only
+    assert "nfc_nfc_md5" not in attrs.columns
+    assert "ppl_mille_bits" not in attrs.columns  # rides lm_ already
 
     # values match the standalone signal frames exactly
     docs = spark.read.parquet(docs_path)
@@ -83,6 +89,16 @@ def test_profile_all_signals_wide_table(spark, tmp_path):
     # "zz zz ..." is a 3-char alphabet: char-entropy gates it; prose passes
     assert got[18]["ent_is_low_entropy"]
     assert not got[0]["ent_is_low_entropy"]
+    # ASCII prose: encoding-clean everywhere, NFC is the identity
+    assert all(got[d]["enc_is_clean"] == 1 for d in range(20))
+    assert all(got[d]["nfc_is_changed"] == 0 for d in range(20))
+    assert all(
+        got[d]["nfc_n_before"] == got[d]["nfc_n_after"] for d in range(20)
+    )
+    # perplexity terciles: every label in {0,1,2}, head third bounded
+    buckets = [got[d]["ppl_ppl_bucket"] for d in range(20)]
+    assert set(buckets) <= {0, 1, 2}
+    assert sum(1 for b in buckets if b == 0) * 3 <= 20
 
     # rollup agrees with the table
     rep = {r["stage"]: r["n_docs"]
