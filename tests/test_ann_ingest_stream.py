@@ -1,0 +1,108 @@
+"""Streaming ANN ingest: stream-encoded rows are bit-identical to the
+batch encoder on the same vectors, a restart processes only new files,
+and ingested vectors are immediately searchable alongside the base."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as papq
+
+from pyspark.sql import functions as F
+
+from coa_ocr_simple_spark.jobs.ann_index import parse_args, run_build
+from coa_ocr_simple_spark.plans.ann_index import (
+    encode_frames,
+    quantized,
+    search_index_frames,
+)
+from coa_ocr_simple_spark.streaming.ann_ingest_stream import (
+    ingested_codes,
+    run_streaming_ann_ingest,
+)
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _code_rows(df):
+    return sorted(
+        (r["vec_id"], r["centroid_id"], tuple(r["codes"]))
+        for r in df.collect()
+    )
+
+
+_EMB_SCHEMA = pa.schema(
+    [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+)
+
+
+def _emb_table(rows):
+    return pa.Table.from_pylist(rows, schema=_EMB_SCHEMA)
+
+
+def _write_half(spark, parity, path):
+    part = spark.read.parquet(EMB).where(F.col("vec_id") % 2 == parity)
+    papq.write_table(
+        _emb_table(
+            [
+                {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                for r in part.collect()
+            ]
+        ),
+        path,
+    )
+    return part
+
+
+def test_ann_ingest_stream_encodes_and_resumes(spark, tmp_path):
+    # bulk index over the even half
+    even_path = str(tmp_path / "even.parquet")
+    _write_half(spark, 0, even_path)
+    index = str(tmp_path / "index")
+    run_build(
+        parse_args(["build", "--embeddings", even_path, "--index", index]),
+        spark,
+    )
+
+    # stream the odd half in as two arrival files
+    inp = tmp_path / "arrivals"
+    inp.mkdir()
+    odd = spark.read.parquet(EMB).where(F.col("vec_id") % 2 == 1)
+    odd_rows = [
+        {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+        for r in odd.collect()
+    ]
+    mid = len(odd_rows) // 2
+    papq.write_table(_emb_table(odd_rows[:mid]), str(inp / "f1.parquet"))
+    ckpt = str(tmp_path / "ckpt")
+    run_streaming_ann_ingest(spark, str(inp), index, ckpt)
+    got1 = spark.read.parquet(f"{index}/codes_stream")
+    assert got1.count() == mid
+
+    papq.write_table(_emb_table(odd_rows[mid:]), str(inp / "f2.parquet"))
+    run_streaming_ann_ingest(spark, str(inp), index, ckpt)
+
+    # stream-encoded rows == batch encoder over the same vectors,
+    # against the same stored quantizer
+    centroids = spark.read.parquet(f"{index}/centroids")
+    codebook = spark.read.parquet(f"{index}/codebook")
+    streamed = spark.read.parquet(f"{index}/codes_stream").drop("batch")
+    expected = encode_frames(quantized(odd), centroids, codebook)
+    assert _code_rows(streamed) == _code_rows(expected)
+    spark.catalog.clearCache()
+
+    # ingested vectors are searchable next to the base: self-hit rank 1
+    all_codes = ingested_codes(spark, index)
+    emb_all = quantized(spark.read.parquet(EMB))
+    queries = emb_all.where(F.col("vec_id") % 2 == 1).limit(3)
+    hits = search_index_frames(
+        queries,
+        centroids,
+        codebook,
+        all_codes,
+        nprobe=2,
+        rerank=32,
+        vectors=emb_all,
+    ).collect()
+    spark.catalog.clearCache()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in hits if r["rank"] == 1}
+    assert top1 and all(q == n for q, n in top1.items())
