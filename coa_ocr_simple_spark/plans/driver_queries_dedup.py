@@ -913,6 +913,124 @@ ORACLES_DEDUP = {
     "embedding_neardup": _embedding_neardup_sql(),
 }
 
+# --- PageRank over the near-dup candidate graph --------------------------------------------
+#
+# The second iterative graph operator next to connected_components:
+# centrality over the LSH candidate-pair graph surfaces TEMPLATE HUBS —
+# documents near-duplicated by many others (boilerplate sources, spam
+# farms) — which degree alone under-ranks when the copies also copy
+# each other.  Exactly _PR_ITERS fixed power-iteration rounds in
+# integer PPM fixed point, so the DuckDB oracle unrolls the same
+# arithmetic CTE-per-round and matches hash-for-hash (the Lloyd-chain
+# recipe); per-round contribution is (rank * 850) DIV (1000 * deg) —
+# one truncating division, damping 0.85 as an exact mille ratio.
+#
+# Scale shape: the graph inherits every pair-generator bound (hot-
+# bucket cap, n_bands_agree gate); each round is one equi-join +
+# map-side-combinable sum, lineage cut per round with localCheckpoint
+# (the connected_components recipe), never a growing plan.
+
+_PR_ITERS = 3
+_PR_BASE_PPM = 150_000  # (1 - d) * 1e6
+_PR_DAMP_MILLE = 850  # d = 0.85
+
+
+def neardup_pagerank(docs: DataFrame) -> DataFrame:
+    """(doc_id, degree, rank_ppm): PageRank after _PR_ITERS integer
+    power iterations over the symmetric near-dup candidate graph
+    (nodes = docs in >= 1 agreeing candidate pair)."""
+    pairs = (
+        minhash_candidate_pairs(docs)
+        .where(F.col("n_bands_agree") >= _MIN_BANDS_AGREE)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges.count()  # eager fill: deg + every iteration consume it
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
+    deg.count()
+    ranks = deg.select(
+        F.col("src").alias("doc_id"),
+        F.lit(1_000_000).cast("long").alias("rank_ppm"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("doc_id"),
+                F.expr(
+                    f"(rank_ppm * {_PR_DAMP_MILLE}) DIV (1000 * deg)"
+                ).alias("c"),
+            )
+        )
+        sums = contrib.groupBy("doc_id").agg(F.sum("c").alias("s"))
+        ranks = (
+            deg.select(F.col("src").alias("doc_id"))
+            .join(sums, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.lit(_PR_BASE_PPM) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("rank_ppm"),
+            )
+            .localCheckpoint(eager=True)  # per-round lineage cut
+        )
+    return deg.join(
+        ranks, deg["src"] == ranks["doc_id"]
+    ).select("doc_id", F.col("deg").cast("long").alias("degree"), "rank_ppm")
+
+
+def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_queries import _docs
+
+    return neardup_pagerank(_docs(spark, sf_dir))
+
+
+def _pagerank_sql() -> str:
+    sql = f"""
+WITH pr_pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_pairs_sql()})
+  WHERE n_bands_agree >= {_MIN_BANDS_AGREE}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pr_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pr_pairs
+), deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+), r0 AS (
+  SELECT src AS doc_id, CAST(1000000 AS BIGINT) AS rank_ppm FROM deg
+)"""
+    for t in range(1, _PR_ITERS + 1):
+        sql += f""", c{t} AS (
+  SELECT e.dst AS doc_id,
+         CAST((r.rank_ppm * {_PR_DAMP_MILLE}) // (1000 * d.deg) AS BIGINT)
+           AS c
+  FROM edges e
+  JOIN r{t - 1} r ON e.src = r.doc_id
+  JOIN deg d ON e.src = d.src
+), r{t} AS (
+  SELECT n.doc_id,
+         CAST({_PR_BASE_PPM} + COALESCE(s.s, 0) AS BIGINT) AS rank_ppm
+  FROM (SELECT src AS doc_id FROM deg) n
+  LEFT JOIN (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS s
+             FROM c{t} GROUP BY doc_id) s USING (doc_id)
+)"""
+    sql += f"""
+SELECT d.src AS doc_id, d.deg AS degree, r.rank_ppm
+FROM deg d JOIN r{_PR_ITERS} r ON d.src = r.doc_id
+"""
+    return sql
+
+
 # Demoted to the extra registry (round 5) to free a driver slot for
 # lm_perplexity: the MinHash family stays driver-visible through
 # dedup_minhash_bands (the signature surface) and ngram_jaccard_pairs
@@ -921,8 +1039,10 @@ ORACLES_DEDUP = {
 EXTRA_QUERIES_DEDUP = {
     "minhash_candidate_pairs": q_minhash_candidate_pairs,
     "semdedup_prune": q_semdedup,
+    "neardup_pagerank": q_neardup_pagerank,
 }
 EXTRA_ORACLES_DEDUP = {
     "minhash_candidate_pairs": _minhash_pairs_sql(),
     "semdedup_prune": _semdedup_sql(),
+    "neardup_pagerank": _pagerank_sql(),
 }

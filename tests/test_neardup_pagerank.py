@@ -1,0 +1,62 @@
+"""neardup_pagerank: independent Python power-iteration agreement.
+
+The DuckDB oracle re-runs the same unrolled SQL; this test instead
+re-implements the integer PageRank independently (plain dicts, the
+same truncating-division recipe) over the ALREADY-ORACLE-CHECKED
+candidate pairs, and requires exact rank_ppm agreement — so a mistake
+in the Spark loop's join/checkpoint plumbing can't hide behind a
+mirrored oracle mistake.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import __spark_entry__ as entrymod
+from coa_ocr_simple_spark.plans.driver_queries_dedup import (
+    _MIN_BANDS_AGREE,
+    _PR_BASE_PPM,
+    _PR_DAMP_MILLE,
+    _PR_ITERS,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pagerank_matches_independent_reference(spark):
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in entrymod.extra_queries()["minhash_candidate_pairs"](
+            spark, SF
+        ).collect()
+        if r["n_bands_agree"] >= _MIN_BANDS_AGREE
+    ]
+    spark.catalog.clearCache()
+    assert pairs  # the corpus must exercise the operator
+
+    adj = collections.defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    ranks = {v: 1_000_000 for v in adj}
+    for _ in range(_PR_ITERS):
+        sums = collections.defaultdict(int)
+        for u, ns in adj.items():
+            c = (ranks[u] * _PR_DAMP_MILLE) // (1000 * deg[u])
+            for v in ns:
+                sums[v] += c
+        ranks = {v: _PR_BASE_PPM + sums.get(v, 0) for v in adj}
+
+    got = {
+        r["doc_id"]: (r["degree"], r["rank_ppm"])
+        for r in entrymod.extra_queries()["neardup_pagerank"](
+            spark, SF
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert set(got) == set(adj)
+    for v in adj:
+        assert got[v] == (deg[v], ranks[v]), v
+    # centrality does its job somewhere: ranks are not all equal
+    assert len({r for _, r in got.values()}) > 1
