@@ -1031,6 +1031,116 @@ FROM deg d JOIN r{_PR_ITERS} r ON d.src = r.doc_id
     return sql
 
 
+# --- triangle counting on the near-dup candidate graph -------------------------------------
+#
+# The clustering-structure probe next to CC (membership) and PageRank
+# (centrality): a document whose neighbours are also near-dups of EACH
+# OTHER sits inside a template CLUSTER (boilerplate family); one whose
+# neighbours don't know each other is a hub stitching unrelated docs
+# (shingle collision, mixed-content page).  The local clustering
+# coefficient separates the two — pure joins, exactly oracle-able.
+#
+# Shape: the standard distributed triangle count — canonical a<b edges,
+# wedge build by one self-join on the lower endpoint, then a semi-join
+# of wedge closures against the edge set.  Wedge fan-out is deg^2 per
+# node, bounded because degree inherits the hot-bucket cap.
+
+
+def neardup_triangles(docs: DataFrame) -> DataFrame:
+    """(doc_id, degree, n_triangles, clustering_mille): per-doc
+    triangle membership count and integer local clustering coefficient
+    (2 * tri * 1000) DIV (deg * (deg - 1)); docs in >= 1 agreeing pair
+    only."""
+    pairs = (
+        minhash_candidate_pairs(docs)
+        .where(F.col("n_bands_agree") >= _MIN_BANDS_AGREE)
+        .select("doc_a", "doc_b")  # already canonical doc_a < doc_b
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs.count()  # eager fill: deg + wedges + closure all consume it
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # wedges (a < b < c with a-b and a-c edges), closed iff b-c is an edge
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))
+    closed = wedges.join(
+        pairs.select(
+            F.col("doc_a").alias("b"), F.col("doc_b").alias("c")
+        ),
+        ["b", "c"],
+        "left_semi",
+    )
+    member = (
+        closed.select(F.col("a").alias("doc_id"))
+        .unionByName(closed.select(F.col("b").alias("doc_id")))
+        .unionByName(closed.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(member, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(F.col("deg") < 2, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "(2 * coalesce(n_triangles, 0) * 1000)"
+                    " DIV (deg * (deg - 1))"
+                )
+            )
+            .cast("long")
+            .alias("clustering_mille"),
+        )
+    )
+
+
+def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_queries import _docs
+
+    return neardup_triangles(_docs(spark, sf_dir))
+
+
+_TRIANGLES_SQL = f"""
+WITH tr_pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_pairs_sql()})
+  WHERE n_bands_agree >= {_MIN_BANDS_AGREE}
+), deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT doc_a AS doc_id FROM tr_pairs
+    UNION ALL SELECT doc_b AS doc_id FROM tr_pairs
+  ) GROUP BY doc_id
+), closed AS (
+  SELECT e1.a, e1.b, e2.c FROM
+    (SELECT doc_a AS a, doc_b AS b FROM tr_pairs) e1
+    JOIN (SELECT doc_a AS a, doc_b AS c FROM tr_pairs) e2 USING (a)
+    WHERE e1.b < e2.c
+      AND EXISTS (SELECT 1 FROM tr_pairs p
+                  WHERE p.doc_a = e1.b AND p.doc_b = e2.c)
+), member AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS doc_id FROM closed
+    UNION ALL SELECT b AS doc_id FROM closed
+    UNION ALL SELECT c AS doc_id FROM closed
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       d.deg AS degree,
+       CAST(COALESCE(m.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.deg < 2 THEN 0
+                 ELSE (2 * COALESCE(m.n_triangles, 0) * 1000)
+                      // (d.deg * (d.deg - 1)) END AS BIGINT)
+         AS clustering_mille
+FROM deg d LEFT JOIN member m USING (doc_id)
+"""
+
+
 # Demoted to the extra registry (round 5) to free a driver slot for
 # lm_perplexity: the MinHash family stays driver-visible through
 # dedup_minhash_bands (the signature surface) and ngram_jaccard_pairs
@@ -1040,9 +1150,11 @@ EXTRA_QUERIES_DEDUP = {
     "minhash_candidate_pairs": q_minhash_candidate_pairs,
     "semdedup_prune": q_semdedup,
     "neardup_pagerank": q_neardup_pagerank,
+    "neardup_triangles": q_neardup_triangles,
 }
 EXTRA_ORACLES_DEDUP = {
     "minhash_candidate_pairs": _minhash_pairs_sql(),
     "semdedup_prune": _semdedup_sql(),
     "neardup_pagerank": _pagerank_sql(),
+    "neardup_triangles": _TRIANGLES_SQL,
 }

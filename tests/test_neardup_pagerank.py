@@ -60,3 +60,51 @@ def test_pagerank_matches_independent_reference(spark):
         assert got[v] == (deg[v], ranks[v]), v
     # centrality does its job somewhere: ranks are not all equal
     assert len({r for _, r in got.values()}) > 1
+
+
+def test_triangles_match_independent_reference(spark):
+    """neardup_triangles: independent set-based triangle count +
+    integer clustering coefficient over the oracle-checked pairs must
+    agree exactly with the join-based Spark plan."""
+    from coa_ocr_simple_spark.plans.driver_queries_dedup import (
+        _MIN_BANDS_AGREE as M,
+    )
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in entrymod.extra_queries()["minhash_candidate_pairs"](
+            spark, SF
+        ).collect()
+        if r["n_bands_agree"] >= M
+    }
+    spark.catalog.clearCache()
+    assert pairs
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    # count each triangle once via the canonical a < b < c enumeration
+    tri = collections.Counter()
+    for a, b in pairs:
+        common = adj[a] & adj[b]
+        for c in common:
+            if b < c and (b, c) in pairs and a < b:
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+
+    got = {
+        r["doc_id"]: (r["degree"], r["n_triangles"], r["clustering_mille"])
+        for r in entrymod.extra_queries()["neardup_triangles"](
+            spark, SF
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert set(got) == set(adj)
+    for v in adj:
+        deg = len(adj[v])
+        t = tri.get(v, 0)
+        cm = 0 if deg < 2 else (2 * t * 1000) // (deg * (deg - 1))
+        assert got[v] == (deg, t, cm), v
+    # the corpus must actually exercise closure: some triangles exist
+    assert any(t > 0 for t in tri.values())
