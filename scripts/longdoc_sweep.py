@@ -68,6 +68,7 @@ def build_docs(spark, n_docs: int, n_chars: int):
 
 def ops():
     from coa_ocr_simple_spark.plans import (
+        driver_queries_corpus as corpus,
         driver_queries_mix as mix,
         driver_queries_quality as q,
     )
@@ -84,6 +85,12 @@ def ops():
         "exact_substr_spans": mix.exact_substr_spans,
         "exact_substr_cut": mix.exact_substr_cut,
         "block_dedup_stats": mix.block_dedup_stats,
+        # second-continuation additions (all built from explode/replace/
+        # per-batch UDF shapes that should stay linear)
+        "bm25_score": lambda d: corpus.bm25_score(d, corpus.bm25_model(d)),
+        "encoding_artifact_stats": corpus.encoding_artifact_stats,
+        "nfc_stats": corpus.nfc_stats,
+        "ccnet_ppl_buckets": q.ccnet_ppl_buckets,
     }
 
 
