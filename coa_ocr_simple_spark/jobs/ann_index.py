@@ -82,6 +82,36 @@ def run_add(args: argparse.Namespace, spark: SparkSession) -> dict:
     return summary
 
 
+def run_compact(args: argparse.Namespace, spark: SparkSession) -> dict:
+    """Fold the streaming-ingest area (codes_stream/batch=N, written by
+    streaming/ann_ingest_stream.py) into the bulk codes table and clear
+    it — the nightly maintenance run that keeps the base table the
+    single source of truth.  vec_ids already in the base are dropped
+    (the stream may have re-ingested a bulk vector); the stream area is
+    removed only AFTER the appended rows are materialized."""
+    import shutil
+
+    io = TableIO(spark)
+    stream_dir = f"{args.index}/codes_stream"
+    try:
+        ingest = spark.read.parquet(stream_dir)
+    except Exception:
+        return {"n_compacted": 0, "stream_area": "absent"}
+    base = io.read(f"{args.index}/codes")
+    moved = (
+        ingest.select(*base.columns)
+        .dropDuplicates(["vec_id"])
+        .join(base.select("vec_id"), "vec_id", "left_anti")
+        .persist()
+    )
+    n = moved.count()  # materialize BEFORE touching either directory
+    if n:
+        io.append(moved, f"{args.index}/codes")
+    moved.unpersist()
+    shutil.rmtree(stream_dir)
+    return {"n_compacted": n, "stream_area": "cleared"}
+
+
 def run_search(args: argparse.Namespace, spark: SparkSession) -> dict:
     io = TableIO(spark)
     centroids = io.read(f"{args.index}/centroids")
@@ -123,6 +153,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     a.add_argument("--embeddings", required=True)
     a.add_argument("--index", required=True)
 
+    c = sub.add_parser("compact")
+    c.add_argument("--index", required=True)
+
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
     s.add_argument("--queries", required=True)
@@ -133,7 +166,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     s.add_argument("--vectors", default=None)
     s.add_argument("--exclude-self", action="store_true")
 
-    for q in (b, a, s):
+    for q in (b, a, c, s):
         q.add_argument("--master", default=None)
         q.add_argument("--shuffle-partitions", type=int, default=None)
         q.add_argument("--conf", action="append", default=[])
@@ -147,7 +180,12 @@ def main(argv=None) -> None:
     spark = make_session(
         "coa-ann-index", args.master, args.shuffle_partitions, args.conf
     )
-    fn = {"build": run_build, "add": run_add, "search": run_search}[args.cmd]
+    fn = {
+        "build": run_build,
+        "add": run_add,
+        "compact": run_compact,
+        "search": run_search,
+    }[args.cmd]
     print(json.dumps(fn(args, spark), sort_keys=True))
 
 

@@ -106,3 +106,50 @@ def test_ann_ingest_stream_encodes_and_resumes(spark, tmp_path):
     spark.catalog.clearCache()
     top1 = {r["query_id"]: r["neighbor_id"] for r in hits if r["rank"] == 1}
     assert top1 and all(q == n for q, n in top1.items())
+
+
+def test_compact_folds_stream_area_into_base(spark, tmp_path):
+    """`compact`: stream-ingested rows move into the bulk codes table
+    (dupes vs base dropped), the stream area is cleared, search results
+    are unchanged, and a second compact is a no-op."""
+    from coa_ocr_simple_spark.jobs.ann_index import parse_args as pa
+    from coa_ocr_simple_spark.jobs.ann_index import run_compact
+
+    even_path = str(tmp_path / "even.parquet")
+    _write_half(spark, 0, even_path)
+    index = str(tmp_path / "index")
+    run_build(
+        parse_args(["build", "--embeddings", even_path, "--index", index]),
+        spark,
+    )
+    n_base = spark.read.parquet(f"{index}/codes").count()
+
+    inp = tmp_path / "arrivals"
+    inp.mkdir()
+    odd = spark.read.parquet(EMB).where(F.col("vec_id") % 2 == 1)
+    odd_rows = [
+        {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+        for r in odd.collect()
+    ]
+    papq.write_table(_emb_table(odd_rows), str(inp / "f1.parquet"))
+    run_streaming_ann_ingest(spark, str(inp), index, str(tmp_path / "ck"))
+
+    before = sorted(
+        (r["vec_id"], r["centroid_id"], tuple(r["codes"]))
+        for r in ingested_codes(spark, index).collect()
+    )
+    summary = run_compact(pa(["compact", "--index", index]), spark)
+    assert summary == {"n_compacted": len(odd_rows), "stream_area": "cleared"}
+    base_after = spark.read.parquet(f"{index}/codes")
+    assert base_after.count() == n_base + len(odd_rows)
+    # the union view sees exactly the same rows as before compaction
+    after = sorted(
+        (r["vec_id"], r["centroid_id"], tuple(r["codes"]))
+        for r in ingested_codes(spark, index).collect()
+    )
+    assert after == before
+    # idempotent: nothing left to fold
+    assert run_compact(pa(["compact", "--index", index]), spark) == {
+        "n_compacted": 0,
+        "stream_area": "absent",
+    }
