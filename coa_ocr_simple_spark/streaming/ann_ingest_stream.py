@@ -17,8 +17,8 @@ replaces its own rows rather than duplicating them (the
 decontaminate_stream recipe).  The ingest area is a SIBLING of the
 bulk ``codes/`` table — mixing flat base files and ``batch=`` partition
 dirs under one root breaks Spark's partition discovery — and a search
-unions the two (``ingested_codes`` below); a nightly compaction run
-folds codes_stream into codes via `ann_index add`.
+unions the two (``ingested_codes`` below); the `ann_index compact`
+subcommand folds codes_stream into codes and clears it.
 
 The file source delivers each vector exactly once; cross-FILE duplicate
 vec_ids are the upstream contract, as in every other stream twin (the
