@@ -477,14 +477,165 @@ FROM est JOIN exact USING (term)
 """
 
 
+# --- HLL set algebra: pairwise source vocabulary overlap -----------------------------------
+#
+# The property that makes HLL worth storing is that registers are an
+# ALGEBRA: max-merging two sources' registers gives the union sketch
+# without touching tokens again, and inclusion-exclusion then estimates
+# the overlap — the "how much vocabulary do these two crawls share"
+# question at O(sources^2 * 256) cost instead of a distinct-token join.
+# Inclusion-exclusion of three noisy estimates can go negative; the
+# overlap clamps at 0 (standard), with the raw signed value alongside.
+# Pair fan-out is |sources|^2 — sources are a registry (dozens), not a
+# key domain, the same cardinality assumption every per-source rollup
+# here makes.
+
+_PAIR_SEP = "|"  # source names must not contain it (asserted nowhere —
+# testdata sources are bare words; production would key by struct)
+
+
+def hll_source_overlap(docs: DataFrame) -> DataFrame:
+    """(source_a, source_b, est_a, est_b, est_union, est_overlap) for
+    every unordered source pair, all from ONE register build."""
+    regs = hll_register_partials(docs).persist()
+    regs.count()  # eager fill: singles + pair unions both consume it
+    singles = hll_estimate(regs).select(
+        "source", F.col("est_distinct").alias("est")
+    )
+    sources = regs.select("source").distinct()
+    pairs = (
+        sources.select(F.col("source").alias("source_a"))
+        .crossJoin(
+            F.broadcast(sources.select(F.col("source").alias("source_b")))
+        )
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    # union sketch per pair: each pair pulls BOTH members' registers and
+    # re-maxes — the merge is the whole point, no token is re-read
+    members = pairs.select(
+        "source_a",
+        "source_b",
+        F.explode(F.array("source_a", "source_b")).alias("source"),
+    )
+    union_regs = (
+        members.join(regs, "source")
+        .groupBy("source_a", "source_b", "reg")
+        .agg(F.max("r").alias("r"))
+        .select(
+            F.concat_ws(
+                _PAIR_SEP, F.col("source_a"), F.col("source_b")
+            ).alias("source"),
+            "reg",
+            "r",
+        )
+    )
+    unions = hll_estimate(union_regs).select(
+        F.split(F.col("source"), r"\|").getItem(0).alias("source_a"),
+        F.split(F.col("source"), r"\|").getItem(1).alias("source_b"),
+        F.col("est_distinct").alias("est_union"),
+    )
+    est_a = singles.select(
+        F.col("source").alias("source_a"), F.col("est").alias("est_a")
+    )
+    est_b = singles.select(
+        F.col("source").alias("source_b"), F.col("est").alias("est_b")
+    )
+    raw = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return (
+        unions.join(F.broadcast(est_a), "source_a")
+        .join(F.broadcast(est_b), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(raw, F.lit(0)).cast("long").alias("est_overlap"),
+        )
+    )
+
+
+def q_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_source_overlap(_docs(spark, sf_dir))
+
+
+def _hll_est_chain_sql(regs_cte: str, prefix: str) -> str:
+    """The estimate arithmetic (raw + linear-counting branch) over a
+    (source, reg, r) CTE — the SQL twin of hll_estimate, name-spaced so
+    one query can run it twice (singles + pair unions)."""
+    return f"""{prefix}per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_regs,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST({_HLL_RMAX} - r AS INTEGER))
+              AS BIGINT) AS s_present
+  FROM {regs_cte} GROUP BY source
+), {prefix}raw AS (
+  SELECT source,
+         CAST({_HLL_M} - n_regs AS BIGINT) AS v_zero,
+         CAST((CAST({_HLL_NUM} AS BIGINT)
+               // (s_present + ({_HLL_M} - n_regs) * CAST({1 << _HLL_RMAX} AS BIGINT)))
+              * {_HLL_ALPHA_PPM} // 1000000 AS BIGINT) AS est_raw
+  FROM {prefix}per
+), {prefix}est AS (
+  SELECT source,
+         CAST(CASE WHEN est_raw < {_HLL_LIN_THRESHOLD} AND v_zero > 0
+                   THEN ({_HLL_M} * ([{", ".join(str(p) for p in _HLL_LN_PPM)}])[v_zero]) // 1000000
+                   ELSE est_raw END AS BIGINT) AS est_distinct
+  FROM {prefix}raw
+)"""
+
+
+def _hll_overlap_sql() -> str:
+    reg = _hex_int_sql("h", 1, 2)
+    v = _hex_int_sql("h", 3, 15)
+    return f"""
+WITH toks AS (
+  SELECT source, md5(t.term) AS h
+  FROM documents,
+       unnest(regexp_split_to_array(lower(TRIM(text)), '\\s+')) AS t(term)
+), rho AS (
+  SELECT source, {reg} AS reg,
+         LEAST(CASE WHEN {v} = 0 THEN 61
+                    ELSE 61 - length(bin({v})) END,
+               {_HLL_RMAX}) AS r
+  FROM toks
+), regs AS (
+  SELECT source, reg, MAX(r) AS r FROM rho GROUP BY source, reg
+), {_hll_est_chain_sql("regs", "s_")}, srcs AS (
+  SELECT DISTINCT source FROM regs
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM srcs a, srcs b WHERE a.source < b.source
+), union_regs AS (
+  SELECT p.source_a || '{_PAIR_SEP}' || p.source_b AS source, g.reg,
+         MAX(g.r) AS r
+  FROM pairs p
+  JOIN regs g ON g.source = p.source_a OR g.source = p.source_b
+  GROUP BY p.source_a, p.source_b, g.reg
+), {_hll_est_chain_sql("union_regs", "u_")}
+SELECT p.source_a, p.source_b,
+       sa.est_distinct AS est_a,
+       sb.est_distinct AS est_b,
+       u.est_distinct AS est_union,
+       CAST(GREATEST(sa.est_distinct + sb.est_distinct - u.est_distinct, 0)
+            AS BIGINT) AS est_overlap
+FROM pairs p
+JOIN s_est sa ON sa.source = p.source_a
+JOIN s_est sb ON sb.source = p.source_b
+JOIN u_est u ON u.source = p.source_a || '{_PAIR_SEP}' || p.source_b
+"""
+
+
 EXTRA_QUERIES_SKETCH = {
     "hll_distinct_terms": q_hll_distinct_terms,
     "bloom_decontaminate": q_bloom_decontaminate,
     "cms_term_counts": q_cms_term_counts,
+    "hll_source_overlap": q_hll_source_overlap,
 }
 
 EXTRA_ORACLES_SKETCH = {
     "hll_distinct_terms": _hll_sql(),
     "bloom_decontaminate": _bloom_sql(),
     "cms_term_counts": _cms_sql(),
+    "hll_source_overlap": _hll_overlap_sql(),
 }
