@@ -116,7 +116,12 @@ def run_search(args: argparse.Namespace, spark: SparkSession) -> dict:
     io = TableIO(spark)
     centroids = io.read(f"{args.index}/centroids")
     codebook = io.read(f"{args.index}/codebook")
-    codes = io.read(f"{args.index}/codes")
+    if args.include_stream:
+        from ..streaming.ann_ingest_stream import ingested_codes
+
+        codes = ingested_codes(spark, args.index)
+    else:
+        codes = io.read(f"{args.index}/codes")
     queries = quantized(io.read(args.queries))
     vectors = quantized(io.read(args.vectors)) if args.vectors else None
     hits = search_index_frames(
@@ -165,6 +170,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     s.add_argument("--rerank", type=int, default=0)
     s.add_argument("--vectors", default=None)
     s.add_argument("--exclude-self", action="store_true")
+    s.add_argument(
+        "--include-stream",
+        action="store_true",
+        help="also search vectors in the streaming-ingest area "
+        "(codes_stream) not yet compacted into the bulk table",
+    )
 
     for q in (b, a, c, s):
         q.add_argument("--master", default=None)

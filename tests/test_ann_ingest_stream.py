@@ -138,6 +138,24 @@ def test_compact_folds_stream_area_into_base(spark, tmp_path):
         (r["vec_id"], r["centroid_id"], tuple(r["codes"]))
         for r in ingested_codes(spark, index).collect()
     )
+
+    # the search CLI reaches not-yet-compacted vectors via --include-stream
+    from coa_ocr_simple_spark.jobs.ann_index import run_search
+
+    hits_out = str(tmp_path / "hits")
+    run_search(
+        pa(
+            ["search", "--index", index, "--queries", str(inp / "f1.parquet"),
+             "--output", hits_out, "--nprobe", "2", "--include-stream"]
+        ),
+        spark,
+    )
+    got_ids = {
+        (r["query_id"], r["neighbor_id"])
+        for r in spark.read.parquet(hits_out).collect()
+    }
+    assert any(q == n for q, n in got_ids)  # streamed vectors searchable
+
     summary = run_compact(pa(["compact", "--index", index]), spark)
     assert summary == {"n_compacted": len(odd_rows), "stream_area": "cleared"}
     base_after = spark.read.parquet(f"{index}/codes")
