@@ -129,3 +129,40 @@ def test_soft_sampling_policy_via_doc_coin(spark, tmp_path, profiled):
     }
     assert kept == want
     assert 0 < summary["n_kept"] < 40
+
+
+def test_policy_over_tercile_and_hygiene_signals(spark, tmp_path, profiled):
+    """The second-wave signals compose into policies: profile ppl/enc/
+    nfc once, then select head+middle perplexity docs that are
+    encoding-clean — verified against the attributes table directly."""
+    docs_path, _ = profiled
+    attrs_path = str(tmp_path / "attrs2")
+    profile_run(
+        profile_args(
+            ["--input", docs_path, "--output", attrs_path,
+             "--signals", "ppl,enc,nfc"]
+        ),
+        spark,
+    )
+    out = str(tmp_path / "curated2")
+    summary = run(
+        parse_args(
+            ["--input", docs_path, "--attributes", attrs_path,
+             "--where", "ppl_ppl_bucket < 2 AND enc_is_clean = 1",
+             "--output", out]
+        ),
+        spark,
+    )
+    attrs = {r["doc_id"]: r for r in spark.read.parquet(attrs_path).collect()}
+    expected = {
+        d
+        for d, r in attrs.items()
+        if r["ppl_ppl_bucket"] < 2 and r["enc_is_clean"] == 1
+    }
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == expected
+    assert summary["n_kept"] == len(expected)
+    # ASCII corpus: the NFC delta rode along and is inert but present
+    assert all(attrs[d]["nfc_is_changed"] == 0 for d in attrs)
+    # the tercile is a real split on this corpus, not a constant
+    assert 0 < len(expected) < len(attrs)
