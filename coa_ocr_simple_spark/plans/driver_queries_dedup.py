@@ -1031,6 +1031,102 @@ FROM deg d JOIN r{_PR_ITERS} r ON d.src = r.doc_id
     return sql
 
 
+# --- LSH operating-point calibration --------------------------------------------------------
+#
+# The tuning question every MinHash deployment faces: what does "k of 8
+# bands agree" MEAN in true-similarity terms on THIS corpus?  This
+# rollup joins every candidate pair (no agree gate) with its exact
+# n-gram Jaccard and aggregates per agreement level — n_pairs, the
+# Jaccard distribution (mean/min/max, integer pct) and the fraction of
+# pairs that clear the near-dup truth threshold (_CLUSTER_JACCARD_MIN).
+# Reading it answers "is _MIN_BANDS_AGREE=3 the right gate" with data
+# instead of theory; output is <= n_bands rows.
+#
+# Cost note: the exact-Jaccard join runs over ALL candidate levels, so
+# this is a diagnostics query (run per corpus build), not a per-query
+# primitive — the same bucket caps bound it.
+
+
+def lsh_calibration(docs: DataFrame) -> DataFrame:
+    """(n_bands_agree, n_pairs, mean_jaccard_pct, min_jaccard_pct,
+    max_jaccard_pct, neardup_precision_pct) per agreement level."""
+    gram_sets = _gram_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    candidates = minhash_candidate_pairs(docs)
+    a = gram_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga")
+    )
+    b = gram_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb")
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    jac = F.floor(inter * 100 / union).cast("long")
+    scored = (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("n_bands_agree", jac.alias("jac"))
+    )
+    return (
+        scored.groupBy("n_bands_agree")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("jac").alias("s_jac"),
+            F.min("jac").alias("min_jaccard_pct"),
+            F.max("jac").alias("max_jaccard_pct"),
+            F.sum(
+                (F.col("jac") >= _CLUSTER_JACCARD_MIN).cast("long")
+            ).alias("n_true"),
+        )
+        .select(
+            "n_bands_agree",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.expr("s_jac DIV n_pairs").cast("long").alias("mean_jaccard_pct"),
+            "min_jaccard_pct",
+            "max_jaccard_pct",
+            F.expr("(n_true * 100) DIV n_pairs")
+            .cast("long")
+            .alias("neardup_precision_pct"),
+        )
+    )
+
+
+def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_queries import _docs
+
+    return lsh_calibration(_docs(spark, sf_dir))
+
+
+def _lsh_calibration_sql() -> str:
+    return f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(0, GREATEST(LENGTH(text) - {_NGRAM - 1}, 1)),
+             i -> substring(text, i + 1, {_NGRAM}))) AS g
+  FROM documents
+), cands AS (
+  SELECT * FROM ({_minhash_pairs_sql()})
+), scored AS (
+  SELECT c.n_bands_agree,
+         CAST(FLOOR(len(list_intersect(a.g, b.g)) * 100.0 /
+              len(list_distinct(list_concat(a.g, b.g)))) AS BIGINT) AS jac
+  FROM cands c
+  JOIN grams a ON c.doc_a = a.doc_id
+  JOIN grams b ON c.doc_b = b.doc_id
+)
+SELECT n_bands_agree,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(CAST(SUM(jac) AS BIGINT) // COUNT(*) AS BIGINT)
+         AS mean_jaccard_pct,
+       CAST(MIN(jac) AS BIGINT) AS min_jaccard_pct,
+       CAST(MAX(jac) AS BIGINT) AS max_jaccard_pct,
+       CAST((CAST(SUM(CASE WHEN jac >= {_CLUSTER_JACCARD_MIN} THEN 1
+                           ELSE 0 END) AS BIGINT) * 100) // COUNT(*)
+            AS BIGINT) AS neardup_precision_pct
+FROM scored GROUP BY n_bands_agree
+"""
+
+
 # --- triangle counting on the near-dup candidate graph -------------------------------------
 #
 # The clustering-structure probe next to CC (membership) and PageRank
@@ -1151,10 +1247,12 @@ EXTRA_QUERIES_DEDUP = {
     "semdedup_prune": q_semdedup,
     "neardup_pagerank": q_neardup_pagerank,
     "neardup_triangles": q_neardup_triangles,
+    "lsh_calibration": q_lsh_calibration,
 }
 EXTRA_ORACLES_DEDUP = {
     "minhash_candidate_pairs": _minhash_pairs_sql(),
     "semdedup_prune": _semdedup_sql(),
     "neardup_pagerank": _pagerank_sql(),
     "neardup_triangles": _TRIANGLES_SQL,
+    "lsh_calibration": _lsh_calibration_sql(),
 }

@@ -108,3 +108,36 @@ def test_triangles_match_independent_reference(spark):
         assert got[v] == (deg, t, cm), v
     # the corpus must actually exercise closure: some triangles exist
     assert any(t > 0 for t in tri.values())
+
+
+def test_lsh_calibration_rolls_up_the_candidate_set(spark):
+    """lsh_calibration: levels partition the full candidate set (pair
+    counts sum to the generator's total), stats are internally
+    consistent, and the table justifies the configured gate — the
+    near-dup precision at the top agreement level far exceeds the
+    bottom level's."""
+    from coa_ocr_simple_spark.plans.driver_queries_dedup import (
+        lsh_calibration,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = sorted(
+        lsh_calibration(docs).collect(), key=lambda r: r["n_bands_agree"]
+    )
+    spark.catalog.clearCache()
+    n_cands = (
+        entrymod.extra_queries()["minhash_candidate_pairs"](spark, SF).count()
+    )
+    spark.catalog.clearCache()
+    assert sum(r["n_pairs"] for r in rows) == n_cands
+    for r in rows:
+        assert 1 <= r["n_bands_agree"] <= 8
+        assert (
+            r["min_jaccard_pct"]
+            <= r["mean_jaccard_pct"]
+            <= r["max_jaccard_pct"]
+        )
+        assert 0 <= r["neardup_precision_pct"] <= 100
+    assert (
+        rows[-1]["neardup_precision_pct"] > rows[0]["neardup_precision_pct"]
+    )
