@@ -979,6 +979,116 @@ _IVFPQ_SQL = _ivfpq_sql(lloyd=False)
 _IVFPQ_LLOYD_SQL = _ivfpq_sql(lloyd=True)
 
 
+# --- per-label embedding statistics (drift / cluster monitoring) ---------------------------
+#
+# The embeddings table's `label` column (untouched until now) is the
+# grouping key a production table would carry (model version, crawl
+# snapshot, source cluster).  Per label: exact integer centroid
+# (elementwise truncating mean of the quantized vectors — safe at any
+# n, unlike a Q-scaled mean whose squared residuals overflow), mean
+# squared norm, and mean squared distance to the centroid — the
+# monitoring triple that catches embedding drift between snapshots
+# (centroid moved) and collapse (dispersion shrank).
+#
+# Shape: one posexplode -> (label, dim) sum for the centroid (the Lloyd
+# sums pattern), then one broadcast join back for the residuals —
+# two passes over the table, all map-side-combinable aggregates.
+
+
+def embedding_label_stats(emb_raw: DataFrame) -> DataFrame:
+    """(label, n_vectors, mean_sq_norm, centroid_m, msd) over the
+    quantized embeddings; centroid_m is the elementwise integer mean
+    (milli units, same as the quantization), msd the mean squared
+    distance to it (truncating integer division, mirrored)."""
+    emb = emb_raw.select(
+        "label", _quantize(F.col("embedding")).alias("qv")
+    ).persist()
+    emb.count()  # two passes below
+    sums = (
+        emb.select("label", F.posexplode("qv").alias("d", "v"))
+        .groupBy("label", "d")
+        .agg(F.sum("v").alias("s"))
+    )
+    n_per = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    centroid = (
+        sums.join(F.broadcast(n_per), "label")
+        .select("label", "d", F.expr("s DIV n_vectors").alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cv"))),
+                lambda s: s["cv"],
+            ).alias("centroid_m")
+        )
+    )
+    sq = F.aggregate(
+        F.zip_with("qv", "centroid_m", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    norm = F.aggregate(
+        F.transform("qv", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    resid = (
+        emb.join(F.broadcast(centroid), "label")
+        .select("label", sq.alias("sq"), norm.alias("nrm"))
+        .groupBy("label")
+        .agg(F.sum("sq").alias("s_sq"), F.sum("nrm").alias("s_nrm"))
+    )
+    return (
+        resid.join(F.broadcast(n_per), "label")
+        .join(F.broadcast(centroid), "label")
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.expr("s_nrm DIV n_vectors").cast("long").alias("mean_sq_norm"),
+            "centroid_m",
+            F.expr("s_sq DIV n_vectors").cast("long").alias("msd"),
+        )
+    )
+
+
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_label_stats(_read(spark, sf_dir, "embeddings"))
+
+
+_EMB_LABEL_STATS_SQL = """
+WITH q AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM q GROUP BY label
+), dims AS (
+  SELECT label, i AS d, qv[CAST(i + 1 AS BIGINT)] AS v
+  FROM q, unnest(range(0, len(qv))) AS r(i)
+), sums AS (
+  SELECT label, d, CAST(SUM(v) AS BIGINT) AS s FROM dims GROUP BY label, d
+), centroid AS (
+  SELECT s.label, list(s.s // n.n_vectors ORDER BY s.d) AS centroid_m
+  FROM sums s JOIN n ON s.label = n.label
+  GROUP BY s.label
+), resid AS (
+  SELECT q.label,
+         CAST(SUM(CAST(list_dot_product(q.qv, q.qv) AS BIGINT)
+                  - 2 * CAST(list_dot_product(q.qv, c.centroid_m) AS BIGINT)
+                  + CAST(list_dot_product(c.centroid_m, c.centroid_m)
+                         AS BIGINT)) AS BIGINT) AS s_sq,
+         CAST(SUM(CAST(list_dot_product(q.qv, q.qv) AS BIGINT)) AS BIGINT)
+           AS s_nrm
+  FROM q JOIN centroid c ON q.label = c.label
+  GROUP BY q.label
+)
+SELECT n.label, n.n_vectors,
+       CAST(r.s_nrm // n.n_vectors AS BIGINT) AS mean_sq_norm,
+       c.centroid_m,
+       CAST(r.s_sq // n.n_vectors AS BIGINT) AS msd
+FROM n JOIN resid r ON n.label = r.label JOIN centroid c ON n.label = c.label
+"""
+
+
 # --- BPE-ish regex pre-tokenizer stats ---------------------------------------------------
 
 # GPT-2-style pretokenizer classes, restricted to the ASCII subset where
@@ -1471,6 +1581,7 @@ EXTRA_QUERIES_EXT = {
     "ann_ivfpq_search_lloyd": q_ann_ivfpq_search_lloyd,  # refined-codebook ADC
     "ann_ivfpq_search_lloyd_p2": q_ann_ivfpq_search_lloyd_p2,  # + nprobe=2
     "ann_ivfpq_rerank": q_ann_ivfpq_rerank,  # + exact-dot refine of the ADC shortlist
+    "embedding_label_stats": q_embedding_label_stats,  # drift-monitoring triple
 }
 
 EXTRA_ORACLES_EXT = {
@@ -1485,4 +1596,5 @@ EXTRA_ORACLES_EXT = {
     "ann_ivfpq_search_lloyd": _IVFPQ_LLOYD_SQL,
     "ann_ivfpq_search_lloyd_p2": _ivfpq_sql(lloyd=True, nprobe=2),
     "ann_ivfpq_rerank": _ivfpq_sql(lloyd=True, nprobe=2, rerank=_RERANK_R),
+    "embedding_label_stats": _EMB_LABEL_STATS_SQL,
 }
