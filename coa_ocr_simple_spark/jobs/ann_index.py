@@ -41,9 +41,22 @@ from ..sources.tables import TableIO
 
 
 def run_build(args: argparse.Namespace, spark: SparkSession) -> dict:
+    from ..plans.driver_queries_ext import (
+        _IVF_CENTROID_MOD,
+        _PQ_DIM,
+        _PQ_K,
+        _PQ_LLOYD_Q,
+        _PQ_M,
+    )
+
     io = TableIO(spark)
     emb = quantized(io.read(args.embeddings)).persist()
     emb.count()  # seed scan, Lloyd and assignment all consume it
+    dim = emb.select(F.size("qv").alias("d")).limit(1).collect()[0]["d"]
+    if dim != _PQ_DIM:
+        raise ValueError(
+            f"embedding dim {dim} != the index family's {_PQ_DIM}"
+        )
     centroids, codebook, codes = build_index_frames(emb)
     io.overwrite(centroids, f"{args.index}/centroids")
     io.overwrite(codebook, f"{args.index}/codebook")
@@ -53,9 +66,41 @@ def run_build(args: argparse.Namespace, spark: SparkSession) -> dict:
         "n_centroids": centroids.count(),
         "codebook_rows": codebook.count(),
     }
+    # one-row parameter manifest: consumers validate compatibility
+    # instead of failing inside a join (the shard_manifest idea)
+    meta = spark.createDataFrame(
+        [
+            (
+                dim,
+                _PQ_M,
+                _PQ_K,
+                _PQ_LLOYD_Q,
+                _IVF_CENTROID_MOD,
+                summary["n_vectors"],
+            )
+        ],
+        "dim long, pq_m long, pq_k long, lloyd_q long, "
+        "centroid_mod long, n_vectors_at_build long",
+    )
+    io.overwrite(meta, f"{args.index}/meta")
     emb.unpersist()
     codebook.unpersist()
     return summary
+
+
+def _check_dim(spark: SparkSession, index: str, frame, what: str) -> None:
+    """Validate an incoming vector frame against the index manifest —
+    a clear error instead of a silent wrong-length zip inside a join.
+    Indexes built before the manifest existed skip the check."""
+    try:
+        meta = spark.read.parquet(f"{index}/meta").collect()[0]
+    except Exception:
+        return
+    row = frame.select(F.size("qv").alias("d")).limit(1).collect()
+    if row and row[0]["d"] != meta["dim"]:
+        raise ValueError(
+            f"{what} dim {row[0]['d']} != index dim {meta['dim']}"
+        )
 
 
 def run_add(args: argparse.Namespace, spark: SparkSession) -> dict:
@@ -67,9 +112,9 @@ def run_add(args: argparse.Namespace, spark: SparkSession) -> dict:
     centroids = io.read(f"{args.index}/centroids")
     codebook = io.read(f"{args.index}/codebook")
     existing = io.read(f"{args.index}/codes").select("vec_id")
-    new = quantized(io.read(args.embeddings)).join(
-        existing, "vec_id", "left_anti"
-    )
+    incoming = quantized(io.read(args.embeddings))
+    _check_dim(spark, args.index, incoming, "add embeddings")
+    new = incoming.join(existing, "vec_id", "left_anti")
     new = new.persist()
     n_new = new.count()  # eager fill: assignment + codes consume it
     codes_new = encode_frames(new, centroids, codebook).persist()
@@ -123,6 +168,7 @@ def run_search(args: argparse.Namespace, spark: SparkSession) -> dict:
     else:
         codes = io.read(f"{args.index}/codes")
     queries = quantized(io.read(args.queries))
+    _check_dim(spark, args.index, queries, "query")
     vectors = quantized(io.read(args.vectors)) if args.vectors else None
     hits = search_index_frames(
         queries,

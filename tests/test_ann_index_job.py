@@ -192,3 +192,48 @@ def test_incremental_add_encodes_with_stored_quantizer(spark, tmp_path):
     )
     assert replay["n_added"] == 0
     assert spark.read.parquet(f"{index}/codes").count() == n_even + n_odd
+
+
+def test_index_manifest_and_dim_validation(spark, tmp_path):
+    """build writes a one-row parameter manifest; search/add validate
+    incoming vector dims against it with a clear error instead of a
+    silent wrong-length zip inside a join."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    import pytest
+
+    from coa_ocr_simple_spark.jobs.ann_index import run_add
+
+    index = str(tmp_path / "index")
+    run_build(
+        parse_args(["build", "--embeddings", EMB, "--index", index]), spark
+    )
+    meta = spark.read.parquet(f"{index}/meta").collect()
+    assert len(meta) == 1
+    m = meta[0]
+    n = spark.read.parquet(EMB).count()
+    assert m["dim"] == 64 and m["n_vectors_at_build"] == n
+
+    # a wrong-dim query table fails loudly at the gate, not in the join
+    bad = str(tmp_path / "bad.parquet")
+    papq.write_table(
+        pa.Table.from_pylist(
+            [{"vec_id": 1, "embedding": [0.5] * 16}],
+            schema=pa.schema(
+                [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+            ),
+        ),
+        bad,
+    )
+    with pytest.raises(ValueError, match="dim 16 != index dim 64"):
+        run_search(
+            parse_args(
+                ["search", "--index", index, "--queries", bad,
+                 "--output", str(tmp_path / "out")]
+            ),
+            spark,
+        )
+    with pytest.raises(ValueError, match="dim 16 != index dim 64"):
+        run_add(
+            parse_args(["add", "--embeddings", bad, "--index", index]), spark
+        )
