@@ -1249,6 +1249,156 @@ def q_language_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_quality(_read(spark, sf_dir, "documents"))
 
 
+# --- paragraph-level language segmentation ---------------------------------------------------
+#
+# Doc-level language ID mislabels MIXED documents (quoted sources,
+# boilerplate in another language, code-switching forums) — the
+# standard fix is to segment and vote per paragraph, then profile the
+# mixture per document.  Same stopword banks as language_quality, all
+# JVM-side; adjacency (switch counting) is a bounded self-join on
+# (doc_id, pos+1) — per-doc paragraph counts are length-linear, and the
+# join mirrors 1:1 into the oracle (no list-zip asymmetry between
+# engines).
+
+
+def paragraph_lang_profile(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_paragraphs, dominant_lang, n_lang_switches, is_mixed):
+    per-doc language-mixture profile from per-paragraph stopword votes.
+    is_mixed = more than one distinct DECIDED (non-unknown) language."""
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\n{2,}")).alias("pos", "para"),
+    ).where(F.length(F.trim(F.col("para"))) > 0)
+    toks = F.split(F.lower(F.trim(F.col("para"))), r"\s+")
+    hits = {}
+    for lang_name, words in _STOPWORDS.items():
+        bank = F.array(*[F.lit(w) for w in words])
+        hits[lang_name] = F.size(
+            F.filter(toks, lambda t: F.array_contains(bank, t))
+        )
+    en, de, fr = hits["en"], hits["de"], hits["fr"]
+    lang = (
+        F.when((en > de) & (en > fr), F.lit("en"))
+        .when((de > en) & (de > fr), F.lit("de"))
+        .when((fr > en) & (fr > de), F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+    voted = paras.select("doc_id", "pos", lang.alias("lang")).persist()
+    voted.count()  # three consumers: counts, mode, adjacency join
+
+    counts = voted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.count_distinct(
+            F.when(F.col("lang") != "unknown", F.col("lang"))
+        ).alias("n_langs"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("c"), F.asc("lang")
+    )  # bounded: <= 4 rows per doc (the lang domain)
+    dominant = (
+        voted.groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("dominant_lang"))
+    )
+    nxt = voted.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("lang").alias("lang2")
+    )
+    switches = (
+        voted.join(nxt, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("lang") != F.col("lang2")).cast("long")).alias(
+                "n_lang_switches"
+            )
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .join(dominant, "doc_id", "left")
+        .join(switches, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paragraphs", F.lit(0)).cast("long").alias(
+                "n_paragraphs"
+            ),
+            F.coalesce("dominant_lang", F.lit("unknown")).alias(
+                "dominant_lang"
+            ),
+            F.coalesce("n_lang_switches", F.lit(0)).cast("long").alias(
+                "n_lang_switches"
+            ),
+            (F.coalesce("n_langs", F.lit(0)) > 1).cast("long").alias(
+                "is_mixed"
+            ),
+        )
+    )
+
+
+def q_paragraph_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return paragraph_lang_profile(_read(spark, sf_dir, "documents"))
+
+
+def _paragraph_lang_sql() -> str:
+    banks = {k: repr(v) for k, v in _STOPWORDS.items()}
+    return f"""
+WITH split0 AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\n{{2,}}') AS arr
+  FROM documents
+), paras0 AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, arr[CAST(i + 1 AS BIGINT)] AS para
+  FROM split0, unnest(range(0, len(arr))) AS r(i)
+), paras AS (
+  SELECT doc_id, pos, para FROM paras0
+  WHERE LENGTH(TRIM(para)) > 0
+), voted AS (
+  SELECT doc_id, pos,
+         CASE WHEN sw_en > sw_de AND sw_en > sw_fr THEN 'en'
+              WHEN sw_de > sw_en AND sw_de > sw_fr THEN 'de'
+              WHEN sw_fr > sw_en AND sw_fr > sw_de THEN 'fr'
+              ELSE 'unknown' END AS lang
+  FROM (
+    SELECT doc_id, pos,
+      len(list_filter(t, x -> list_contains({banks['en']}, x))) AS sw_en,
+      len(list_filter(t, x -> list_contains({banks['de']}, x))) AS sw_de,
+      len(list_filter(t, x -> list_contains({banks['fr']}, x))) AS sw_fr
+    FROM (SELECT doc_id, pos,
+                 regexp_split_to_array(lower(TRIM(para)), '\\s+') AS t
+          FROM paras)
+  )
+), counts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+         CAST(COUNT(DISTINCT CASE WHEN lang != 'unknown' THEN lang END)
+              AS BIGINT) AS n_langs
+  FROM voted GROUP BY doc_id
+), dominant AS (
+  SELECT doc_id, lang AS dominant_lang FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY COUNT(*) DESC, lang ASC) AS rn
+    FROM voted GROUP BY doc_id, lang
+  ) WHERE rn = 1
+), switches AS (
+  SELECT a.doc_id,
+         CAST(SUM(CASE WHEN a.lang != b.lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lang_switches
+  FROM voted a JOIN voted b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+       COALESCE(m.dominant_lang, 'unknown') AS dominant_lang,
+       CAST(COALESCE(s.n_lang_switches, 0) AS BIGINT) AS n_lang_switches,
+       CAST(COALESCE(c.n_langs, 0) > 1 AS BIGINT) AS is_mixed
+FROM documents d
+LEFT JOIN counts c USING (doc_id)
+LEFT JOIN dominant m USING (doc_id)
+LEFT JOIN switches s USING (doc_id)
+"""
+
+
 def _language_quality_sql() -> str:
     banks = {k: repr(v) for k, v in _STOPWORDS.items()}
     return f"""
@@ -1582,6 +1732,7 @@ EXTRA_QUERIES_EXT = {
     "ann_ivfpq_search_lloyd_p2": q_ann_ivfpq_search_lloyd_p2,  # + nprobe=2
     "ann_ivfpq_rerank": q_ann_ivfpq_rerank,  # + exact-dot refine of the ADC shortlist
     "embedding_label_stats": q_embedding_label_stats,  # drift-monitoring triple
+    "paragraph_lang_profile": q_paragraph_lang_profile,  # mixed-language docs
 }
 
 EXTRA_ORACLES_EXT = {
@@ -1597,4 +1748,5 @@ EXTRA_ORACLES_EXT = {
     "ann_ivfpq_search_lloyd_p2": _ivfpq_sql(lloyd=True, nprobe=2),
     "ann_ivfpq_rerank": _ivfpq_sql(lloyd=True, nprobe=2, rerank=_RERANK_R),
     "embedding_label_stats": _EMB_LABEL_STATS_SQL,
+    "paragraph_lang_profile": _paragraph_lang_sql(),
 }

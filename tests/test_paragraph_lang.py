@@ -1,0 +1,69 @@
+"""paragraph_lang_profile: mixture semantics on a synthesized
+multi-language corpus (the generic testdata is monolingual, so the
+mixed/switch branches need planted docs), plus agreement of the
+per-paragraph vote with the doc-level language_quality vote on
+single-paragraph docs."""
+
+from __future__ import annotations
+
+from coa_ocr_simple_spark.plans.driver_queries_ext import (
+    language_quality,
+    paragraph_lang_profile,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+EN = "the cat and the dog walk to the house in the morning and it is fine"
+DE = "der hund und die katze und das haus von der stadt und nicht schlecht"
+FR = "le chat et la maison et les arbres et un jardin des fleurs et le vent"
+
+
+def test_mixture_profile_semantics(spark):
+    rows = [
+        (0, EN + "\n\n" + EN + "\n\n" + EN),  # pure en, 3 paragraphs
+        (1, EN + "\n\n" + DE + "\n\n" + EN),  # mixed, 2 switches
+        (2, DE + "\n\n" + DE + "\n\n" + FR),  # mixed, 1 switch, de dominant
+        (3, "zz qq xx"),  # one undecided paragraph
+        (4, ""),  # empty doc
+        (5, EN + "\n\n\n\n" + EN),  # >2 newlines collapse to one gap
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in paragraph_lang_profile(_df(spark, rows)).collect()
+    }
+    spark.catalog.clearCache()
+    assert got[0]["n_paragraphs"] == 3
+    assert got[0]["dominant_lang"] == "en"
+    assert got[0]["n_lang_switches"] == 0 and got[0]["is_mixed"] == 0
+
+    assert got[1]["is_mixed"] == 1 and got[1]["n_lang_switches"] == 2
+    assert got[1]["dominant_lang"] == "en"
+
+    assert got[2]["is_mixed"] == 1 and got[2]["n_lang_switches"] == 1
+    assert got[2]["dominant_lang"] == "de"
+
+    assert got[3]["n_paragraphs"] == 1
+    assert got[3]["dominant_lang"] == "unknown" and got[3]["is_mixed"] == 0
+
+    assert got[4]["n_paragraphs"] == 0
+    assert got[4]["dominant_lang"] == "unknown"
+
+    assert got[5]["n_paragraphs"] == 2 and got[5]["n_lang_switches"] == 0
+
+
+def test_single_paragraph_vote_agrees_with_doc_level(spark):
+    rows = [(0, EN), (1, DE), (2, FR), (3, "zz qq")]
+    df = _df(spark, rows)
+    para = {
+        r["doc_id"]: r["dominant_lang"]
+        for r in paragraph_lang_profile(df).collect()
+    }
+    spark.catalog.clearCache()
+    doc = {
+        r["doc_id"]: r["lang_guess"] for r in language_quality(df).collect()
+    }
+    spark.catalog.clearCache()
+    assert para == doc
