@@ -23,6 +23,7 @@ Signals (all integer-exact, each also an oracle-checked query):
                               head/middle/tail; corpus-relative)
   enc_   encoding_artifact_stats  mojibake / U+FFFD / C0 counts
   nfc_   nfc_stats            NFC canonicalization delta (pandas UDF)
+  plang_ paragraph_lang_profile  per-paragraph language mixture
 
 Usage:
   python -m coa_ocr_simple_spark.jobs.profile_corpus \\
@@ -76,6 +77,7 @@ def _signal_frames() -> dict[str, Callable[[DataFrame], DataFrame]]:
         encoding_artifact_stats,
         nfc_stats,
     )
+    from ..plans.driver_queries_ext import paragraph_lang_profile
     from ..plans.driver_queries_quality import ccnet_ppl_buckets
 
     return {
@@ -93,6 +95,7 @@ def _signal_frames() -> dict[str, Callable[[DataFrame], DataFrame]]:
         "ppl": lambda d: ccnet_ppl_buckets(d).drop("mille_bits"),
         "enc": lambda d: encoding_artifact_stats(d).drop("scrubbed_md5"),
         "nfc": lambda d: nfc_stats(d).drop("nfc_md5"),
+        "plang": paragraph_lang_profile,
     }
 
 
@@ -109,6 +112,7 @@ _FLAG_COLUMNS = (
     "ent_is_low_entropy",
     "enc_is_clean",
     "nfc_is_changed",
+    "plang_is_mixed",
 )
 
 
@@ -178,9 +182,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--report", default=None, help="rollup-counts table/path")
     p.add_argument(
         "--signals",
-        default="lq,rep,gq,ng,c4,lm,dsir,nb,ent,ppl,enc,nfc",
+        default="lq,rep,gq,ng,c4,lm,dsir,nb,ent,ppl,enc,nfc,plang",
         help="comma list from {lq,rep,gq,ng,c4,lm,dsir,nb,ent,ppl,enc,"
-        "nfc} (default: all)",
+        "nfc,plang} (default: all)",
     )
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)

@@ -65,6 +65,7 @@ def test_profile_all_signals_wide_table(spark, tmp_path):
         "ppl_ppl_bucket",
         "enc_n_moji", "enc_n_repl", "enc_n_ctl", "enc_is_clean",
         "nfc_n_before", "nfc_n_after", "nfc_is_changed",
+        "plang_n_paragraphs", "plang_dominant_lang", "plang_is_mixed",
     ):
         assert col in attrs.columns, col
     assert "c4_text_clean" not in attrs.columns  # payload stays out
