@@ -199,6 +199,25 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
             final, final.join(kept, "doc_id", "left_semi"), "n_after_perplexity"
         )
 
+    if args.drop_mixed_lang:
+        # mixed-language documents (quoted sources, foreign boilerplate,
+        # code-switching) poison monolingual training mixes and defeat
+        # doc-level language routing — drop survivors whose paragraphs
+        # decide on more than one language.
+        from ..plans.driver_queries_ext import paragraph_lang_profile
+
+        surv_docs = docs.join(final, "doc_id", "left_semi")
+        kept = (
+            paragraph_lang_profile(surv_docs)
+            .where(F.col("is_mixed") == 0)
+            .select("doc_id")
+        )
+        final = _stage(
+            final,
+            final.join(kept, "doc_id", "left_semi"),
+            "n_after_mixed_lang",
+        )
+
     if args.drop_ppl_tail:
         # CCNet's actual corpus split: tercile the survivors by LM
         # perplexity and drop the tail (head+middle ship).  Adaptive —
@@ -502,6 +521,13 @@ def parse_args(argv=None) -> argparse.Namespace:
         "bigram-LM average exceeds this many mille-bits/bigram "
         "(LM trained on the survivors' doc_id%%10==1 slice; 5000 "
         "is the lm_perplexity head-split default)",
+    )
+    p.add_argument(
+        "--drop-mixed-lang",
+        action="store_true",
+        help="drop survivors whose paragraphs decide on more than one "
+        "language (per-paragraph stopword vote; quoted-source / "
+        "foreign-boilerplate docs)",
     )
     p.add_argument(
         "--drop-ppl-tail",

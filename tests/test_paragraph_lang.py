@@ -67,3 +67,36 @@ def test_single_paragraph_vote_agrees_with_doc_level(spark):
     }
     spark.catalog.clearCache()
     assert para == doc
+
+
+def test_curate_drop_mixed_lang_stage(spark, tmp_path):
+    """--drop-mixed-lang: the planted code-switching doc drops; pure
+    docs of ANY single language survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coa_ocr_simple_spark.jobs.curate import parse_args, run
+
+    rows = [
+        {"doc_id": 0, "text": (EN + "\n\n" + EN)},
+        {"doc_id": 1, "text": (DE + "\n\n" + DE)},
+        {"doc_id": 2, "text": (EN + "\n\n" + DE + "\n\n" + EN)},  # mixed
+        {"doc_id": 3, "text": (FR + "\n\n" + FR)},
+    ]
+    for r in rows:
+        r.update({"lang": "en", "source": "s", "n_chars": len(r["text"])})
+    path = str(tmp_path / "mixed_docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), path)
+    out = str(tmp_path / "curated")
+    summary = run(
+        parse_args(
+            ["--input", path, "--output", out,
+             "--jaccard-min", "101",  # isolate the stage
+             "--drop-mixed-lang"]
+        ),
+        spark,
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 2 not in kept
+    assert {0, 1, 3} <= kept
+    assert summary["n_after_mixed_lang"] == len(kept)
