@@ -626,11 +626,90 @@ JOIN u_est u ON u.source = p.source_a || '{_PAIR_SEP}' || p.source_b
 """
 
 
+# --- corpus vocabulary redundancy (global union vs per-source sum) -------------------------
+#
+# The one-row corpus dashboard number the pair table can't give: how
+# much vocabulary do sources SHARE overall?  redundancy = (sum of
+# per-source distinct estimates) / (corpus-union distinct estimate) —
+# 1.0 means fully disjoint vocabularies, n_sources means every source
+# carries the same vocabulary.  Same single register build; the union
+# sketch is one more max-merge.
+
+
+def hll_vocab_redundancy(docs: DataFrame) -> DataFrame:
+    """(n_sources, sum_single_est, union_est, redundancy_mille)."""
+    regs = hll_registers_for(
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term"),
+        )
+    ).persist()
+    regs.count()  # singles + union both consume it
+    singles = hll_estimate(regs).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("est_distinct").cast("long").alias("sum_single_est"),
+    )
+    union_regs = (
+        regs.groupBy("reg")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("__all__").alias("source"), "reg", "r")
+    )
+    union = hll_estimate(union_regs).select(
+        F.col("est_distinct").alias("union_est")
+    )
+    return singles.crossJoin(union).select(
+        "n_sources",
+        "sum_single_est",
+        "union_est",
+        F.expr("(sum_single_est * 1000) DIV union_est")
+        .cast("long")
+        .alias("redundancy_mille"),
+    )
+
+
+def q_hll_vocab_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_vocab_redundancy(_docs(spark, sf_dir))
+
+
+def _hll_redundancy_sql() -> str:
+    reg = _hex_int_sql("h", 1, 2)
+    v = _hex_int_sql("h", 3, 15)
+    return f"""
+WITH toks AS (
+  SELECT source, md5(t.term) AS h
+  FROM documents,
+       unnest(regexp_split_to_array(lower(TRIM(text)), '\\s+')) AS t(term)
+), rho AS (
+  SELECT source, {reg} AS reg,
+         LEAST(CASE WHEN {v} = 0 THEN 61
+                    ELSE 61 - length(bin({v})) END,
+               {_HLL_RMAX}) AS r
+  FROM toks
+), regs AS (
+  SELECT source, reg, MAX(r) AS r FROM rho GROUP BY source, reg
+), {_hll_est_chain_sql("regs", "s_")}, singles AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+         CAST(SUM(est_distinct) AS BIGINT) AS sum_single_est
+  FROM s_est
+), union_regs AS (
+  SELECT '__all__' AS source, reg, MAX(r) AS r FROM regs GROUP BY reg
+), {_hll_est_chain_sql("union_regs", "u_")}
+SELECT s.n_sources, s.sum_single_est,
+       u.est_distinct AS union_est,
+       CAST((s.sum_single_est * 1000) // u.est_distinct AS BIGINT)
+         AS redundancy_mille
+FROM singles s CROSS JOIN u_est u
+"""
+
+
 EXTRA_QUERIES_SKETCH = {
     "hll_distinct_terms": q_hll_distinct_terms,
     "bloom_decontaminate": q_bloom_decontaminate,
     "cms_term_counts": q_cms_term_counts,
     "hll_source_overlap": q_hll_source_overlap,
+    "hll_vocab_redundancy": q_hll_vocab_redundancy,
 }
 
 EXTRA_ORACLES_SKETCH = {
@@ -638,4 +717,5 @@ EXTRA_ORACLES_SKETCH = {
     "bloom_decontaminate": _bloom_sql(),
     "cms_term_counts": _cms_sql(),
     "hll_source_overlap": _hll_overlap_sql(),
+    "hll_vocab_redundancy": _hll_redundancy_sql(),
 }

@@ -208,3 +208,38 @@ def test_hll_overlap_tracks_exact_intersection(spark):
         )
         assert r["est_union"] >= max(r["est_a"], r["est_b"])
         assert r["est_overlap"] <= min(r["est_a"], r["est_b"])
+
+
+def test_vocab_redundancy_tracks_exact(spark):
+    """hll_vocab_redundancy: the redundancy factor tracks the exact
+    (sum-of-singles / true-union) ratio within sketch tolerance, and the
+    union estimate is bounded by [max single, sum of singles]."""
+    from coa_ocr_simple_spark.plans.driver_queries_sketch import (
+        hll_vocab_redundancy,
+    )
+
+    docs = _docs_df(spark)
+    row = hll_vocab_redundancy(docs).collect()[0]
+    spark.catalog.clearCache()
+
+    terms = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+        .collect()
+    )
+    by_src = {}
+    allv = set()
+    for r in terms:
+        by_src.setdefault(r["source"], set()).add(r["term"])
+        allv.add(r["term"])
+    true_sum = sum(len(s) for s in by_src.values())
+    true_union = len(allv)
+    assert row["n_sources"] == len(by_src)
+    assert abs(row["union_est"] - true_union) <= max(3, 0.15 * true_union)
+    true_red = true_sum * 1000 // true_union
+    assert abs(row["redundancy_mille"] - true_red) <= 0.2 * true_red
+    assert row["union_est"] <= row["sum_single_est"]
