@@ -1207,6 +1207,68 @@ WHERE CASE WHEN o.h_old IS NULL THEN 'added'
 """
 
 
+# --- tokenizer fertility (chars per token, per source) --------------------------------------
+#
+# The standard tokenizer-evaluation rollup: how many characters does
+# one token buy on each source?  Low fertility on a source means the
+# learned merges don't fit its text (wrong domain, wrong language,
+# gibberish) — the number teams watch when deciding whether to retrain
+# the tokenizer as the corpus mix shifts.  Consumes encode_corpus's
+# n_tokens SCALAR only (no explode of the fold-built token array, so
+# the bpe_vocab_usage Generate-copies hazard never arises); one
+# equi-join + one per-source agg.
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .bpe import encode_corpus
+
+    docs = _docs(spark, sf_dir)
+    enc = encode_corpus(docs, _ENCODE_MERGES, engine="fold").select(
+        "doc_id", "n_tokens"
+    )
+    joined = docs.select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_chars_t")
+    ).join(enc, "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars_t").cast("long").alias("total_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            F.when(F.col("total_tokens") == 0, F.lit(0))
+            .otherwise(F.expr("(total_chars * 1000) DIV total_tokens"))
+            .cast("long")
+            .alias("fertility_milli"),
+        )
+    )
+
+
+def _fertility_sql() -> str:
+    return f"""
+WITH enc AS ({_encode_sql()}),
+d AS (
+  SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS n_chars_t
+  FROM documents
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars_t) AS BIGINT) AS total_chars,
+       CAST(SUM(enc.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(CASE WHEN SUM(enc.n_tokens) = 0 THEN 0
+                 ELSE (CAST(SUM(d.n_chars_t) AS BIGINT) * 1000)
+                      // CAST(SUM(enc.n_tokens) AS BIGINT) END AS BIGINT)
+         AS fertility_milli
+FROM d JOIN enc USING (doc_id)
+GROUP BY d.source
+"""
+
+
 EXTRA_QUERIES_MIX = {
     "corpus_delta": q_corpus_delta,  # recrawl snapshot diff
     "shard_manifest": q_shard_manifest,
@@ -1218,6 +1280,7 @@ EXTRA_QUERIES_MIX = {
     "exact_substr_cut": q_exact_substr_cut,  # the span CUT pass (cleaned text)
     "paragraph_dedup": q_paragraph_dedup,  # CCNet corpus-level paragraph dedup
     "token_budget_mixture": q_token_budget_mixture,  # water-filled char budget
+    "bpe_fertility": q_bpe_fertility,  # chars/token per source
 }
 EXTRA_ORACLES_MIX = {
     "corpus_delta": _DELTA_SQL,
@@ -1230,4 +1293,5 @@ EXTRA_ORACLES_MIX = {
     "exact_substr_cut": _cut_sql(),
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
     "token_budget_mixture": _BUDGET_SQL,
+    "bpe_fertility": _fertility_sql(),
 }
