@@ -1455,6 +1455,64 @@ def _bounded_users(events: DataFrame) -> DataFrame:
     return events.join(ok, "user_id", "left_semi")
 
 
+# --- next-event transition counts (behavioral Markov surface) -------------------------------
+#
+# The sequence-analytics staple between sessionize (where do sessions
+# break) and event_funnel (does a FIXED pattern complete): the full
+# first-order transition matrix — for every ordered (event_type ->
+# next event_type) pair, how often does it occur within a user's
+# stream?  Feeds next-action models, funnel discovery, bot detection
+# (humans have ragged transition rows; replayed bots have degenerate
+# ones).  Shape: one lag window per user (bounded by the same
+# _MAX_USER_EVENTS in-plan guard sessionize uses) and a
+# map-side-combinable pair count — no self-joins, no per-pair state.
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """(event_a, event_b, n_transitions, n_users): counts of adjacent
+    event-type pairs within a user's (ts, event_id)-ordered stream,
+    plus how many distinct users exhibit each transition."""
+    bounded = _bounded_users(events)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        bounded.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("event_a"),
+            F.col("event_type").alias("event_b"),
+        )
+        .where(F.col("event_a").isNotNull())
+    )
+    return pairs.groupBy("event_a", "event_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_transitions(_read(spark, sf_dir, "events"))
+
+
+_EVENT_TRANSITIONS_SQL = f"""
+WITH bounded AS (
+  SELECT * FROM events
+  WHERE user_id IN (SELECT user_id FROM events
+                    GROUP BY user_id HAVING COUNT(*) <= {_MAX_USER_EVENTS})
+), pairs AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS event_a,
+         event_type AS event_b
+  FROM bounded
+)
+SELECT event_a, event_b,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM pairs WHERE event_a IS NOT NULL
+GROUP BY event_a, event_b
+"""
+
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts after a >30-min gap;
     classic lag + cumulative-sum window composition, then per-session
@@ -1733,6 +1791,7 @@ EXTRA_QUERIES_EXT = {
     "ann_ivfpq_rerank": q_ann_ivfpq_rerank,  # + exact-dot refine of the ADC shortlist
     "embedding_label_stats": q_embedding_label_stats,  # drift-monitoring triple
     "paragraph_lang_profile": q_paragraph_lang_profile,  # mixed-language docs
+    "event_transitions": q_event_transitions,  # behavioral Markov surface
 }
 
 EXTRA_ORACLES_EXT = {
@@ -1749,4 +1808,5 @@ EXTRA_ORACLES_EXT = {
     "ann_ivfpq_rerank": _ivfpq_sql(lloyd=True, nprobe=2, rerank=_RERANK_R),
     "embedding_label_stats": _EMB_LABEL_STATS_SQL,
     "paragraph_lang_profile": _paragraph_lang_sql(),
+    "event_transitions": _EVENT_TRANSITIONS_SQL,
 }
