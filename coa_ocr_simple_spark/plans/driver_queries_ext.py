@@ -1512,6 +1512,94 @@ GROUP BY event_a, event_b
 """
 
 
+# --- inter-event gap histogram (session-gap calibration) ------------------------------
+#
+# The committed data answer to "why a 30-minute session gap?" — the
+# lsh_calibration move applied to sessionize: a floor-log2(seconds)
+# histogram of every adjacent within-user gap, with a cumulative
+# per-mille column, so the session threshold is read off the bucket
+# where cum_mille plateaus instead of taken on faith.  Same bounded
+# per-user lag window as sessionize/transitions; the follow-up windows
+# run over the ~40 value-domain bucket rows (bounded at any scale).
+# Only gap DIFFERENCES are used, so the ltz-cast epoch base cancels
+# (the sessionize recipe; session tz additionally pinned UTC).
+
+
+def event_gap_histogram(events: DataFrame) -> DataFrame:
+    """(gap_bucket, n_gaps, n_users, min_gap_s, max_gap_s, cum_mille):
+    adjacent within-user event gaps bucketed by floor(log2(gap_s + 1))
+    — LENGTH(BIN(n))-1, exact for integers — plus the running share of
+    gaps at-or-below each bucket in integer per-mille."""
+    bounded = _bounded_users(events)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts carries sub-second parts: a per-event truncated-seconds
+    # difference is off by ±1 vs the exact gap, so the canonical gap is
+    # the EXACT microsecond difference floor-divided to seconds —
+    # identical in Spark, DuckDB (epoch_us) and Python (timedelta).
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gaps = (
+        bounded.select(
+            "user_id", (epoch_us - F.lag(epoch_us).over(w)).alias("gap_us")
+        )
+        .where(F.col("gap_us").isNotNull())
+        .select("user_id", F.expr("CAST(gap_us DIV 1000000 AS BIGINT)").alias("gap_s"))
+    )
+    hist = gaps.groupBy(
+        (F.length(F.bin(F.col("gap_s") + 1)) - 1).cast("int").alias("gap_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.min("gap_s").cast("long").alias("min_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+    )
+    w_cum = Window.orderBy("gap_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy()
+    return (
+        hist.withColumn("_cum", F.sum("n_gaps").over(w_cum))
+        .withColumn("_tot", F.sum("n_gaps").over(w_tot))
+        .withColumn(
+            "cum_mille", F.expr("CAST((_cum * 1000) DIV _tot AS BIGINT)")
+        )
+        .drop("_cum", "_tot")
+    )
+
+
+def q_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_gap_histogram(_read(spark, sf_dir, "events"))
+
+
+_EVENT_GAP_HIST_SQL = f"""
+WITH bounded AS (
+  SELECT * FROM events
+  WHERE user_id IN (SELECT user_id FROM events
+                    GROUP BY user_id HAVING COUNT(*) <= {_MAX_USER_EVENTS})
+), gaps_us AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap_us
+  FROM bounded
+), gaps AS (
+  SELECT user_id, CAST(gap_us // 1000000 AS BIGINT) AS gap_s
+  FROM gaps_us WHERE gap_us IS NOT NULL
+), hist AS (
+  SELECT CAST(LENGTH(bin(gap_s + 1)) - 1 AS INT) AS gap_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+         CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+  FROM gaps WHERE gap_s IS NOT NULL
+  GROUP BY 1
+)
+SELECT gap_bucket, n_gaps, n_users, min_gap_s, max_gap_s,
+       CAST(CAST(SUM(n_gaps) OVER (ORDER BY gap_bucket
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000
+            // CAST(SUM(n_gaps) OVER () AS BIGINT) AS BIGINT) AS cum_mille
+FROM hist
+"""
+
+
 
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts after a >30-min gap;
@@ -1792,6 +1880,7 @@ EXTRA_QUERIES_EXT = {
     "embedding_label_stats": q_embedding_label_stats,  # drift-monitoring triple
     "paragraph_lang_profile": q_paragraph_lang_profile,  # mixed-language docs
     "event_transitions": q_event_transitions,  # behavioral Markov surface
+    "event_gap_histogram": q_event_gap_histogram,  # session-gap calibration
 }
 
 EXTRA_ORACLES_EXT = {
@@ -1809,4 +1898,5 @@ EXTRA_ORACLES_EXT = {
     "embedding_label_stats": _EMB_LABEL_STATS_SQL,
     "paragraph_lang_profile": _paragraph_lang_sql(),
     "event_transitions": _EVENT_TRANSITIONS_SQL,
+    "event_gap_histogram": _EVENT_GAP_HIST_SQL,
 }
