@@ -704,12 +704,114 @@ FROM singles s CROSS JOIN u_est u
 """
 
 
+# --- per-source unique contribution (k-way leave-one-out set algebra) ----------------------
+#
+# The sourcing-decision dashboard the pair table and the one-row
+# redundancy number both miss: what does each crawl UNIQUELY add?
+# unique(s) = est(union of all) - est(union of all except s) — the
+# k-way leave-one-out, still from ONE register build.  The LOO unions
+# are a sources x registers re-max: O(sources^2 * 256) rows into one
+# aggregate, register-sized at any corpus scale (sources are a
+# registry of dozens, the standing per-source-rollup assumption).
+# Register dominance makes est_rest <= est_all by construction (fewer
+# sources -> pointwise-smaller registers in BOTH estimate branches),
+# so est_unique needs no clamp in theory; it keeps the standard
+# greatest(..., 0) anyway for the same reason overlap does.
+
+
+def hll_source_contribution(docs: DataFrame) -> DataFrame:
+    """(source, est_single, est_rest, est_all, est_unique, unique_mille):
+    per-source distinct-vocabulary estimate, the leave-one-out union
+    estimate, the global union estimate, the unique contribution, and
+    its integer per-mille share of the global union."""
+    regs = hll_register_partials(docs).persist()
+    regs.count()  # eager fill: singles + LOO unions + global union consume it
+    singles = hll_estimate(regs).select(
+        "source", F.col("est_distinct").alias("est_single")
+    )
+    sources = regs.select("source").distinct()
+    loo_regs = (
+        regs.select(F.col("source").alias("member"), "reg", "r")
+        .crossJoin(F.broadcast(sources))
+        .where(F.col("member") != F.col("source"))
+        .groupBy("source", "reg")
+        .agg(F.max("r").alias("r"))
+    )
+    rest = hll_estimate(loo_regs).select(
+        "source", F.col("est_distinct").alias("est_rest")
+    )
+    union_regs = (
+        regs.groupBy("reg")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("__all__").alias("source"), "reg", "r")
+    )
+    est_all = hll_estimate(union_regs).select(
+        F.col("est_distinct").alias("est_all")
+    )
+    return (
+        singles.join(rest, "source", "left")  # single-source corpus: rest is empty
+        .withColumn("est_rest", F.coalesce(F.col("est_rest"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(est_all))
+        .withColumn(
+            "est_unique",
+            F.greatest(F.col("est_all") - F.col("est_rest"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "unique_mille", F.expr("CAST((est_unique * 1000) DIV est_all AS BIGINT)")
+        )
+    )
+
+
+def q_hll_source_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_source_contribution(_docs(spark, sf_dir))
+
+
+def _hll_contribution_sql() -> str:
+    reg = _hex_int_sql("h", 1, 2)
+    v = _hex_int_sql("h", 3, 15)
+    return f"""
+WITH toks AS (
+  SELECT source, md5(t.term) AS h
+  FROM documents,
+       unnest(regexp_split_to_array(lower(TRIM(text)), '\\s+')) AS t(term)
+), rho AS (
+  SELECT source, {reg} AS reg,
+         LEAST(CASE WHEN {v} = 0 THEN 61
+                    ELSE 61 - length(bin({v})) END,
+               {_HLL_RMAX}) AS r
+  FROM toks
+), regs AS (
+  SELECT source, reg, MAX(r) AS r FROM rho GROUP BY source, reg
+), {_hll_est_chain_sql("regs", "s_")}, srcs AS (
+  SELECT DISTINCT source FROM regs
+), loo_regs AS (
+  SELECT s.source AS source, g.reg, MAX(g.r) AS r
+  FROM srcs s JOIN regs g ON g.source <> s.source
+  GROUP BY s.source, g.reg
+), {_hll_est_chain_sql("loo_regs", "l_")}, union_regs AS (
+  SELECT '__all__' AS source, reg, MAX(r) AS r FROM regs GROUP BY reg
+), {_hll_est_chain_sql("union_regs", "a_")}
+SELECT se.source,
+       se.est_distinct AS est_single,
+       CAST(COALESCE(le.est_distinct, 0) AS BIGINT) AS est_rest,
+       ae.est_distinct AS est_all,
+       CAST(GREATEST(ae.est_distinct - COALESCE(le.est_distinct, 0), 0)
+            AS BIGINT) AS est_unique,
+       CAST((GREATEST(ae.est_distinct - COALESCE(le.est_distinct, 0), 0) * 1000)
+            // ae.est_distinct AS BIGINT) AS unique_mille
+FROM s_est se
+LEFT JOIN l_est le ON le.source = se.source
+CROSS JOIN a_est ae
+"""
+
+
 EXTRA_QUERIES_SKETCH = {
     "hll_distinct_terms": q_hll_distinct_terms,
     "bloom_decontaminate": q_bloom_decontaminate,
     "cms_term_counts": q_cms_term_counts,
     "hll_source_overlap": q_hll_source_overlap,
     "hll_vocab_redundancy": q_hll_vocab_redundancy,
+    "hll_source_contribution": q_hll_source_contribution,
 }
 
 EXTRA_ORACLES_SKETCH = {
@@ -718,4 +820,5 @@ EXTRA_ORACLES_SKETCH = {
     "cms_term_counts": _cms_sql(),
     "hll_source_overlap": _hll_overlap_sql(),
     "hll_vocab_redundancy": _hll_redundancy_sql(),
+    "hll_source_contribution": _hll_contribution_sql(),
 }

@@ -243,3 +243,50 @@ def test_vocab_redundancy_tracks_exact(spark):
     true_red = true_sum * 1000 // true_union
     assert abs(row["redundancy_mille"] - true_red) <= 0.2 * true_red
     assert row["union_est"] <= row["sum_single_est"]
+
+
+def test_source_contribution_tracks_exact_leave_one_out(spark):
+    """hll_source_contribution: est_unique tracks the TRUE leave-one-out
+    unique-vocabulary count per source, register dominance holds
+    (est_rest <= est_all, est_single <= est_all), and the per-mille
+    shares never sum above 1000 + tolerance (unique sets are disjoint
+    subsets of the union)."""
+    from coa_ocr_simple_spark.plans.driver_queries_sketch import (
+        hll_source_contribution,
+    )
+
+    docs = _docs_df(spark)
+    rows = hll_source_contribution(docs).collect()
+    spark.catalog.clearCache()
+    assert rows
+
+    terms = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+        .collect()
+    )
+    by_src = {}
+    allv = set()
+    for r in terms:
+        by_src.setdefault(r["source"], set()).add(r["term"])
+        allv.add(r["term"])
+    assert {r["source"] for r in rows} == set(by_src)
+    for r in rows:
+        rest = set()
+        for s, v in by_src.items():
+            if s != r["source"]:
+                rest |= v
+        true_unique = len(allv) - len(rest)
+        assert abs(r["est_unique"] - true_unique) <= max(3, 0.15 * len(allv)), (
+            r["source"],
+            r["est_unique"],
+            true_unique,
+        )
+        assert r["est_rest"] <= r["est_all"]
+        assert r["est_single"] <= r["est_all"]
+        assert r["unique_mille"] == r["est_unique"] * 1000 // r["est_all"]
+    assert sum(r["unique_mille"] for r in rows) <= 1000 + 50 * len(rows)
