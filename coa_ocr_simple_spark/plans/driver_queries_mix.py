@@ -859,6 +859,74 @@ GROUP BY tok
 """
 
 
+# --- vocabulary coverage curve (how big a vocab do you actually need) -----------------------
+#
+# The decision chart behind every vocab-size choice: rank tokens by
+# frequency (explicit token tie-break, the cross-engine rank rule) and
+# report the cumulative share of the token STREAM covered at each
+# power-of-two rank (+ the final rank, so the curve visibly ends at
+# 1000 mille).  Same persist-barriered encode as bpe_vocab_usage (the
+# Generate-copies hazard); the ranking window's input is |vocab| rows —
+# a model-sized table, not a corpus-sized one — which is the same
+# bounded-window argument nb_model makes.
+
+
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vrank, token, n_occ, cum_occ, cum_mille) at power-of-two ranks:
+    cumulative token-stream coverage by vocabulary rank."""
+    from pyspark.sql import Window
+
+    from .bpe import encode_corpus
+
+    enc = encode_corpus(
+        _docs(spark, sf_dir), _ENCODE_MERGES, engine="fold"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    counts = (
+        enc.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
+    w = Window.orderBy(F.desc("n_occ"), F.asc("token"))
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_tot = Window.partitionBy()
+    return (
+        counts.withColumn("vrank", F.row_number().over(w).cast("long"))
+        .withColumn("cum_occ", F.sum("n_occ").over(w_cum).cast("long"))
+        .withColumn("_tot", F.sum("n_occ").over(w_tot))
+        .withColumn("_nv", F.count(F.lit(1)).over(w_tot))
+        .where(F.expr("(vrank & (vrank - 1)) = 0 OR vrank = _nv"))
+        .select(
+            "vrank",
+            "token",
+            "n_occ",
+            "cum_occ",
+            F.expr("CAST((cum_occ * 1000) DIV _tot AS BIGINT)").alias("cum_mille"),
+        )
+    )
+
+
+def _coverage_sql() -> str:
+    return f"""
+WITH enc AS ({_encode_sql()}),
+occ AS (SELECT unnest(tokens) AS token FROM enc),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ FROM occ GROUP BY token
+), ranked AS (
+  SELECT token, n_occ,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, token) AS BIGINT) AS vrank,
+         CAST(SUM(n_occ) OVER (ORDER BY n_occ DESC, token
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_occ,
+         CAST(SUM(n_occ) OVER () AS BIGINT) AS tot,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_vocab
+  FROM counts
+)
+SELECT vrank, token, n_occ, cum_occ,
+       CAST((cum_occ * 1000) // tot AS BIGINT) AS cum_mille
+FROM ranked
+WHERE (vrank & (vrank - 1)) = 0 OR vrank = n_vocab
+"""
+
+
 # --- CCNet-style corpus-level paragraph dedup ---------------------------------------------
 
 # Wenzek et al. 2020 (CCNet): the dedup unit is the PARAGRAPH —
@@ -1281,6 +1349,7 @@ EXTRA_QUERIES_MIX = {
     "paragraph_dedup": q_paragraph_dedup,  # CCNet corpus-level paragraph dedup
     "token_budget_mixture": q_token_budget_mixture,  # water-filled char budget
     "bpe_fertility": q_bpe_fertility,  # chars/token per source
+    "vocab_coverage_curve": q_vocab_coverage_curve,  # vocab-size decision chart
 }
 EXTRA_ORACLES_MIX = {
     "corpus_delta": _DELTA_SQL,
@@ -1294,4 +1363,5 @@ EXTRA_ORACLES_MIX = {
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
     "token_budget_mixture": _BUDGET_SQL,
     "bpe_fertility": _fertility_sql(),
+    "vocab_coverage_curve": _coverage_sql(),
 }
