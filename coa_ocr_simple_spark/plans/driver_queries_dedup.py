@@ -1042,16 +1042,46 @@ FROM deg d JOIN r{_PR_ITERS} r ON d.src = r.doc_id
 # Reading it answers "is _MIN_BANDS_AGREE=3 the right gate" with data
 # instead of theory; output is <= n_bands rows.
 #
-# Cost note: the exact-Jaccard join runs over ALL candidate levels, so
-# this is a diagnostics query (run per corpus build), not a per-query
-# primitive — the same bucket caps bound it.
+# Cost note: pair COUNTS per level are always exact (they come straight
+# off the candidate generator).  The exact-Jaccard scoring join, which
+# is the cost (level 1 alone is ~1.2M of sf0.1's ~1.45M candidates),
+# runs on every pair at levels >= _CAL_EXACT_LEVEL but on a
+# DETERMINISTIC 1-in-_CAL_SAMPLE_DIV md5-pair sample below it — the
+# md5-4-hex-prefix integer cross-mult recipe (source_quota_sample /
+# lang_mixture), mirrored in the oracle.  n_scored is reported next to
+# n_pairs so the sampled levels are visibly estimates (a 1/16 sample of
+# >= 26k pairs holds the precision CI within ~1pct); levels that decide
+# the gate (around _MIN_BANDS_AGREE) stay exact.  This turned the
+# scoring join from 1.45M to ~93k pairs at sf0.1.
+
+_CAL_EXACT_LEVEL = 3  # levels >= this: every pair scored exactly
+_CAL_SAMPLE_DIV = 16  # below: deterministic 1-in-16 md5-pair sample
 
 
 def lsh_calibration(docs: DataFrame) -> DataFrame:
-    """(n_bands_agree, n_pairs, mean_jaccard_pct, min_jaccard_pct,
-    max_jaccard_pct, neardup_precision_pct) per agreement level."""
+    """(n_bands_agree, n_pairs, n_scored, mean_jaccard_pct,
+    min_jaccard_pct, max_jaccard_pct, neardup_precision_pct) per
+    agreement level; stats are NULL for a level with no scored pairs
+    (only possible on tiny synthetic corpora)."""
+    from .driver_queries_mix import _hex_int_val
+
     gram_sets = _gram_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    candidates = minhash_candidate_pairs(docs)
+    candidates = minhash_candidate_pairs(docs).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    candidates.count()  # eager fill: level counts + scoring join both consume it
+    counts = candidates.groupBy("n_bands_agree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    pair_key = F.md5(
+        F.concat_ws(
+            "|", F.col("doc_a").cast("string"), F.col("doc_b").cast("string")
+        )
+    )
+    sampled = candidates.where(
+        (F.col("n_bands_agree") >= _CAL_EXACT_LEVEL)
+        | (_hex_int_val(pair_key, 1, 4) * _CAL_SAMPLE_DIV < 65536)
+    )
     a = gram_sets.select(
         F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga")
     )
@@ -1062,30 +1092,35 @@ def lsh_calibration(docs: DataFrame) -> DataFrame:
     union = F.size(F.array_union("ga", "gb"))
     jac = F.floor(inter * 100 / union).cast("long")
     scored = (
-        candidates.join(a, "doc_a")
+        sampled.join(a, "doc_a")
         .join(b, "doc_b")
         .select("n_bands_agree", jac.alias("jac"))
     )
+    stats = scored.groupBy("n_bands_agree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum("jac").alias("s_jac"),
+        F.min("jac").alias("min_jaccard_pct"),
+        F.max("jac").alias("max_jaccard_pct"),
+        F.sum((F.col("jac") >= _CLUSTER_JACCARD_MIN).cast("long")).alias(
+            "n_true"
+        ),
+    )
     return (
-        scored.groupBy("n_bands_agree")
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum("jac").alias("s_jac"),
-            F.min("jac").alias("min_jaccard_pct"),
-            F.max("jac").alias("max_jaccard_pct"),
-            F.sum(
-                (F.col("jac") >= _CLUSTER_JACCARD_MIN).cast("long")
-            ).alias("n_true"),
-        )
+        counts.join(stats, "n_bands_agree", "left")
         .select(
             "n_bands_agree",
-            F.col("n_pairs").cast("long").alias("n_pairs"),
-            F.expr("s_jac DIV n_pairs").cast("long").alias("mean_jaccard_pct"),
+            "n_pairs",
+            F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+            F.expr(
+                "CASE WHEN n_scored > 0"
+                " THEN CAST(s_jac DIV n_scored AS BIGINT) END"
+            ).alias("mean_jaccard_pct"),
             "min_jaccard_pct",
             "max_jaccard_pct",
-            F.expr("(n_true * 100) DIV n_pairs")
-            .cast("long")
-            .alias("neardup_precision_pct"),
+            F.expr(
+                "CASE WHEN n_scored > 0"
+                " THEN CAST((n_true * 100) DIV n_scored AS BIGINT) END"
+            ).alias("neardup_precision_pct"),
         )
     )
 
@@ -1097,6 +1132,9 @@ def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_calibration_sql() -> str:
+    from .driver_queries_mix import _hex_int_sql
+
+    pair_key = "md5(CAST(doc_a AS VARCHAR) || '|' || CAST(doc_b AS VARCHAR))"
     return f"""
 WITH grams AS (
   SELECT doc_id,
@@ -1106,24 +1144,39 @@ WITH grams AS (
   FROM documents
 ), cands AS (
   SELECT * FROM ({_minhash_pairs_sql()})
+), counts AS (
+  SELECT n_bands_agree, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM cands GROUP BY n_bands_agree
+), samp AS (
+  SELECT * FROM cands
+  WHERE n_bands_agree >= {_CAL_EXACT_LEVEL}
+     OR {_hex_int_sql(pair_key, 1, 4)} * {_CAL_SAMPLE_DIV} < 65536
 ), scored AS (
   SELECT c.n_bands_agree,
          CAST(FLOOR(len(list_intersect(a.g, b.g)) * 100.0 /
               len(list_distinct(list_concat(a.g, b.g)))) AS BIGINT) AS jac
-  FROM cands c
+  FROM samp c
   JOIN grams a ON c.doc_a = a.doc_id
   JOIN grams b ON c.doc_b = b.doc_id
+), stats AS (
+  SELECT n_bands_agree,
+         CAST(COUNT(*) AS BIGINT) AS n_scored,
+         CAST(SUM(jac) AS BIGINT) AS s_jac,
+         CAST(MIN(jac) AS BIGINT) AS min_jaccard_pct,
+         CAST(MAX(jac) AS BIGINT) AS max_jaccard_pct,
+         CAST(SUM(CASE WHEN jac >= {_CLUSTER_JACCARD_MIN} THEN 1
+                       ELSE 0 END) AS BIGINT) AS n_true
+  FROM scored GROUP BY n_bands_agree
 )
-SELECT n_bands_agree,
-       CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       CAST(CAST(SUM(jac) AS BIGINT) // COUNT(*) AS BIGINT)
-         AS mean_jaccard_pct,
-       CAST(MIN(jac) AS BIGINT) AS min_jaccard_pct,
-       CAST(MAX(jac) AS BIGINT) AS max_jaccard_pct,
-       CAST((CAST(SUM(CASE WHEN jac >= {_CLUSTER_JACCARD_MIN} THEN 1
-                           ELSE 0 END) AS BIGINT) * 100) // COUNT(*)
+SELECT c.n_bands_agree, c.n_pairs,
+       CAST(COALESCE(s.n_scored, 0) AS BIGINT) AS n_scored,
+       CAST(CASE WHEN s.n_scored > 0 THEN s.s_jac // s.n_scored END
+            AS BIGINT) AS mean_jaccard_pct,
+       s.min_jaccard_pct,
+       s.max_jaccard_pct,
+       CAST(CASE WHEN s.n_scored > 0 THEN (s.n_true * 100) // s.n_scored END
             AS BIGINT) AS neardup_precision_pct
-FROM scored GROUP BY n_bands_agree
+FROM counts c LEFT JOIN stats s USING (n_bands_agree)
 """
 
 

@@ -130,8 +130,18 @@ def test_lsh_calibration_rolls_up_the_candidate_set(spark):
     )
     spark.catalog.clearCache()
     assert sum(r["n_pairs"] for r in rows) == n_cands
+    from coa_ocr_simple_spark.plans.driver_queries_dedup import (
+        _CAL_EXACT_LEVEL,
+    )
+
     for r in rows:
         assert 1 <= r["n_bands_agree"] <= 8
+        # levels at/above the exact threshold score every pair; sampled
+        # levels score a non-empty strict subset on this corpus
+        if r["n_bands_agree"] >= _CAL_EXACT_LEVEL:
+            assert r["n_scored"] == r["n_pairs"]
+        else:
+            assert 0 < r["n_scored"] < r["n_pairs"]
         assert (
             r["min_jaccard_pct"]
             <= r["mean_jaccard_pct"]
