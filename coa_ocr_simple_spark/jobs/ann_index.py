@@ -57,7 +57,8 @@ def run_build(args: argparse.Namespace, spark: SparkSession) -> dict:
         raise ValueError(
             f"embedding dim {dim} != the index family's {_PQ_DIM}"
         )
-    centroids, codebook, codes = build_index_frames(emb)
+    coarse = "lloyd_l2" if args.coarse_lloyd else "seed_dot"
+    centroids, codebook, codes = build_index_frames(emb, coarse=coarse)
     io.overwrite(centroids, f"{args.index}/centroids")
     io.overwrite(codebook, f"{args.index}/codebook")
     io.overwrite(codes, f"{args.index}/codes")
@@ -65,6 +66,7 @@ def run_build(args: argparse.Namespace, spark: SparkSession) -> dict:
         "n_vectors": codes.count(),
         "n_centroids": centroids.count(),
         "codebook_rows": codebook.count(),
+        "coarse": coarse,
     }
     # one-row parameter manifest: consumers validate compatibility
     # instead of failing inside a join (the shard_manifest idea)
@@ -77,15 +79,28 @@ def run_build(args: argparse.Namespace, spark: SparkSession) -> dict:
                 _PQ_LLOYD_Q,
                 _IVF_CENTROID_MOD,
                 summary["n_vectors"],
+                coarse,
             )
         ],
         "dim long, pq_m long, pq_k long, lloyd_q long, "
-        "centroid_mod long, n_vectors_at_build long",
+        "centroid_mod long, n_vectors_at_build long, coarse string",
     )
     io.overwrite(meta, f"{args.index}/meta")
     emb.unpersist()
     codebook.unpersist()
     return summary
+
+
+def _coarse_kind(spark: SparkSession, index: str) -> str:
+    """The routing metric the index was built with, from the meta
+    manifest — mixing metrics silently misroutes, so add/search must
+    use exactly the build's kind.  Indexes from before the manifest
+    (or before the `coarse` column) are by construction seed_dot."""
+    try:
+        row = spark.read.parquet(f"{index}/meta").collect()[0]
+        return row["coarse"] if "coarse" in row.asDict() else "seed_dot"
+    except Exception:
+        return "seed_dot"
 
 
 def _check_dim(spark: SparkSession, index: str, frame, what: str) -> None:
@@ -117,7 +132,9 @@ def run_add(args: argparse.Namespace, spark: SparkSession) -> dict:
     new = incoming.join(existing, "vec_id", "left_anti")
     new = new.persist()
     n_new = new.count()  # eager fill: assignment + codes consume it
-    codes_new = encode_frames(new, centroids, codebook).persist()
+    codes_new = encode_frames(
+        new, centroids, codebook, coarse=_coarse_kind(spark, args.index)
+    ).persist()
     n_added = codes_new.count()
     if n_added:
         io.append(codes_new, f"{args.index}/codes")
@@ -180,6 +197,7 @@ def run_search(args: argparse.Namespace, spark: SparkSession) -> dict:
         rerank=args.rerank,
         vectors=vectors,
         exclude_self=args.exclude_self,
+        coarse=_coarse_kind(spark, args.index),
     ).persist()
     io.overwrite(hits, args.output)
     summary = {
@@ -199,6 +217,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     b = sub.add_parser("build")
     b.add_argument("--embeddings", required=True)
     b.add_argument("--index", required=True)
+    b.add_argument(
+        "--coarse-lloyd",
+        action="store_true",
+        help="train the coarse quantizer (full-vector exact-integer "
+        "k-means, min-L2 routing) instead of seed centroids + max-dot",
+    )
 
     a = sub.add_parser("add")
     a.add_argument("--embeddings", required=True)

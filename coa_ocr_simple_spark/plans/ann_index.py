@@ -37,11 +37,23 @@ from .driver_queries_ext import (
     _IVF_CENTROID_MOD,
     _MAX_IVF_LIST,
     _PQ_LLOYD_Q,
+    _ivf_centroids_lloyd,
     _pq_codebook_lloyd,
     _pq_codes_df,
     _pq_subspace_explode,
     _quantize,
 )
+
+# coarse-quantizer flavors a stored index can carry (recorded in the
+# meta manifest so `add`/`search` route with the SAME metric the build
+# assigned with — mixing metrics silently misroutes):
+#   seed_dot — untrained seed centroids (raw quantization units),
+#              max-dot-product routing (the original layout)
+#   lloyd_l2 — _ivf_centroids_lloyd-trained centroids (_PQ_LLOYD_Q
+#              fixed-point units), min-squared-L2 routing (k-means
+#              assignment IS min-L2; in-list ceiling 0.20 -> 0.33 at
+#              sf0.1 nprobe=2, see driver_queries_ext)
+COARSE_KINDS = ("seed_dot", "lloyd_l2")
 
 
 def quantized(emb_raw: DataFrame) -> DataFrame:
@@ -50,27 +62,60 @@ def quantized(emb_raw: DataFrame) -> DataFrame:
     return emb_raw.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
 
 
+def _route(
+    frame: DataFrame,
+    centroids: DataFrame,
+    *,
+    coarse: str,
+    id_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """(id_col, centroid_id): the frame's ``nprobe`` nearest coarse
+    lists under the index's routing metric — shared by encode (nprobe=1
+    on vec_id) and search (nprobe=n on query_id)."""
+    if coarse not in COARSE_KINDS:
+        raise ValueError(f"unknown coarse kind {coarse!r}")
+    if coarse == "lloyd_l2":
+        score = F.aggregate(
+            F.zip_with(
+                F.transform("qv", lambda x: x * _PQ_LLOYD_Q),
+                F.col("cv"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        order = F.asc("_cscore")
+    else:
+        score = F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        order = F.desc("_cscore")
+    w = Window.partitionBy(id_col).orderBy(order, F.asc("centroid_id"))
+    return (
+        frame.crossJoin(F.broadcast(centroids))
+        .select(id_col, "centroid_id", score.alias("_cscore"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select(id_col, "centroid_id")
+    )
+
+
 def encode_frames(
-    emb: DataFrame, centroids: DataFrame, codebook: DataFrame
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    *,
+    coarse: str = "seed_dot",
 ) -> DataFrame:
     """(vec_id, centroid_id, codes): encode vectors against an EXISTING
     quantizer — the write path shared by the initial build and
     incremental `add` (new vectors are encoded with the stored
     codebook/centroids, never a retrain; FAISS's add() contract)."""
-    cdot = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cdot"), F.asc("centroid_id")
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "centroid_id", cdot.alias("cdot"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+    assigned = _route(
+        emb, centroids, coarse=coarse, id_col="vec_id", nprobe=1
     )
     pq = _pq_codes_df(emb, codebook, scale=_PQ_LLOYD_Q).select(
         "vec_id", "m", "code"
@@ -87,18 +132,30 @@ def encode_frames(
 
 
 def build_index_frames(
-    emb: DataFrame,
+    emb: DataFrame, *, coarse: str = "seed_dot"
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(centroids, codebook, codes) from a quantized embeddings frame.
 
     ``emb`` feeds the seed scan, the Lloyd refinement and the final
-    assignment — persist+fill it before calling (the job does)."""
-    centroids = emb.where(F.col("vec_id") % _IVF_CENTROID_MOD == 1).select(
-        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv")
-    )
+    assignment — persist+fill it before calling (the job does).
+    ``coarse="lloyd_l2"`` trains the coarse quantizer (full-vector
+    exact-integer k-means) and stores Q-unit centroids."""
+    if coarse not in COARSE_KINDS:
+        raise ValueError(f"unknown coarse kind {coarse!r}")
+    if coarse == "lloyd_l2":
+        centroids = _ivf_centroids_lloyd(emb).persist()
+        centroids.count()  # trained subtree, two consumers
+    else:
+        centroids = emb.where(
+            F.col("vec_id") % _IVF_CENTROID_MOD == 1
+        ).select(F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv"))
     codebook = _pq_codebook_lloyd(emb).persist()
     codebook.count()  # heavy subtree, two consumers (codes + callers)
-    return centroids, codebook, encode_frames(emb, centroids, codebook)
+    return (
+        centroids,
+        codebook,
+        encode_frames(emb, centroids, codebook, coarse=coarse),
+    )
 
 
 def search_index_frames(
@@ -112,6 +169,7 @@ def search_index_frames(
     rerank: int = 0,
     vectors: DataFrame | None = None,
     exclude_self: bool = False,
+    coarse: str = "seed_dot",
 ) -> DataFrame:
     """Search a stored IVF-PQ index.
 
@@ -119,27 +177,17 @@ def search_index_frames(
     refines the ADC top-``rerank`` shortlist by exact integer dot
     product against ``vectors`` (vec_id, qv) — the raw-vector table the
     index was built from.  ``exclude_self`` drops candidates whose
-    vec_id equals the query's (dedup-style search)."""
+    vec_id equals the query's (dedup-style search).  ``coarse`` MUST
+    match the kind the index was built with (the job reads it from the
+    meta manifest)."""
     if rerank and vectors is None:
         raise ValueError("rerank requires the raw-vector table")
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
 
     qside = queries.select(F.col("vec_id").alias("query_id"), "qv")
-    cdot = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    wroute = Window.partitionBy("query_id").orderBy(
-        F.desc("cdot"), F.asc("centroid_id")
-    )
-    routed = (
-        qside.crossJoin(F.broadcast(centroids))
-        .select("query_id", "centroid_id", cdot.alias("cdot"))
-        .withColumn("rn", F.row_number().over(wroute))
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", "centroid_id")
+    routed = _route(
+        qside, centroids, coarse=coarse, id_col="query_id", nprobe=nprobe
     )
 
     ok_lists = (

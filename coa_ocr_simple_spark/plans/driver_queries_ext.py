@@ -760,6 +760,7 @@ def _ivfpq_search(
     lloyd: bool,
     nprobe: int = 1,
     rerank: int = 0,
+    ck: bool = False,
 ) -> DataFrame:
     emb = (
         _read(spark, sf_dir, "embeddings")
@@ -777,21 +778,44 @@ def _ivfpq_search(
     else:
         codebook = _pq_codebook(emb)
 
-    centroids = emb.where(F.col("vec_id") % _IVF_CENTROID_MOD == 1).select(
-        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv")
-    )
-    cdot = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("centroid_id"))
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if ck:
+        # trained coarse quantizer: Lloyd-refined centroids (Q units),
+        # consistent L2 routing (k-means assignment IS min-L2) — the
+        # in-list ceiling measured 0.20 -> 0.33 at sf0.1 / 0.44 -> 0.68
+        # at sf0.001 vs the seed+dot router at nprobe=2
+        centroids = _ivf_centroids_lloyd(emb).persist()
+        centroids.count()
+        sqv = F.transform("qv", lambda x: x * _PQ_LLOYD_Q)
+        cd2 = F.aggregate(
+            F.zip_with(sqv, F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.asc("cd2"), F.asc("centroid_id")
+        )
+        routed = emb.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "centroid_id", cd2.alias("cd2")
+        )
+    else:
+        centroids = emb.where(F.col("vec_id") % _IVF_CENTROID_MOD == 1).select(
+            F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv")
+        )
+        cdot = F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cdot"), F.asc("centroid_id")
+        )
+        routed = emb.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "centroid_id", cdot.alias("cdot")
+        )
     assigned = (
-        emb.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "centroid_id", cdot.alias("cdot"))
-        .withColumn("rn", F.row_number().over(w))
+        routed.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= nprobe)
         .select("vec_id", "centroid_id", "rn")
         .persist()  # feeds the query and candidate branches
@@ -892,7 +916,9 @@ def _ivfpq_search(
     )
 
 
-def _ivfpq_sql(*, lloyd: bool, nprobe: int = 1, rerank: int = 0) -> str:
+def _ivfpq_sql(
+    *, lloyd: bool, nprobe: int = 1, rerank: int = 0, ck: bool = False
+) -> str:
     """DuckDB oracle for _ivfpq_search at any (codebook, nprobe, rerank)
     — one template: the lloyd variant swaps in the refined-codebook CTE
     block and its cbq/subsq/codes_q names; nprobe widens the query-side
@@ -904,6 +930,32 @@ def _ivfpq_sql(*, lloyd: bool, nprobe: int = 1, rerank: int = 0) -> str:
     cb = "cbq" if lloyd else "cb"
     subs = "subsq" if lloyd else "subs"
     codes = "codes_q" if lloyd else "codes"
+    if ck:
+        route = f"""{_ivf_lloyd_chain()}, assigned AS (
+  SELECT vec_id, centroid_id, rn FROM (
+    SELECT s.vec_id, ck.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                              ORDER BY CAST(list_dot_product(s.sq, s.sq)
+                                            - 2 * list_dot_product(s.sq, ck.cv)
+                                            + list_dot_product(ck.cv, ck.cv)
+                                        AS BIGINT) ASC,
+                                       ck.centroid_id ASC) AS rn
+    FROM qs s CROSS JOIN ck
+  ) WHERE rn <= {nprobe}
+)"""
+    else:
+        route = f""" c AS (
+  SELECT vec_id AS centroid_id, qv AS cv FROM q
+  WHERE vec_id % {_IVF_CENTROID_MOD} = 1
+), assigned AS (
+  SELECT vec_id, centroid_id, rn FROM (
+    SELECT q.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY CAST(list_dot_product(q.qv, c.cv) AS BIGINT) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {nprobe}
+)"""
     if rerank:
         tail = f""", adc_top AS (
   SELECT query_id, neighbor_id FROM (
@@ -938,18 +990,7 @@ WITH q AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
   FROM embeddings
-),{pq_cte}, c AS (
-  SELECT vec_id AS centroid_id, qv AS cv FROM q
-  WHERE vec_id % {_IVF_CENTROID_MOD} = 1
-), assigned AS (
-  SELECT vec_id, centroid_id, rn FROM (
-    SELECT q.vec_id, c.centroid_id,
-           ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                              ORDER BY CAST(list_dot_product(q.qv, c.cv) AS BIGINT) DESC,
-                                       c.centroid_id ASC) AS rn
-    FROM q CROSS JOIN c
-  ) WHERE rn <= {nprobe}
-), queries AS (
+),{pq_cte},{route}, queries AS (
   SELECT vec_id AS query_id, centroid_id FROM assigned
   WHERE vec_id % {_QMOD} = 0 AND rn <= {nprobe}
 ), cands AS (
@@ -977,6 +1018,255 @@ WITH q AS (
 
 _IVFPQ_SQL = _ivfpq_sql(lloyd=False)
 _IVFPQ_LLOYD_SQL = _ivfpq_sql(lloyd=True)
+
+
+# --- trained coarse quantizer (full-vector exact-integer k-means) ---------------------
+#
+# BENCH/ann_recall_r05.json proved routing is the ONLY remaining recall
+# loss in the IVF-PQ ladder (the exact rerank recovers everything the
+# probed lists contain).  This section trains the routing itself: the
+# same exact-integer Lloyd recipe as _pq_codebook_lloyd, applied to the
+# FULL 64-dim vectors, with consistent min-L2 assignment on both the
+# training and the search side (k-means assignment IS min-L2; the seed
+# router's max-dot metric is NOT the k-means objective, so a trained
+# router must switch metrics or the centroids it trains toward are not
+# the ones it routes with).  Step count swept offline (numpy twin of
+# the exact integer math) at both scales — nprobe=2 in-list ceiling:
+#
+#     steps       0     1     2     3     4     5
+#     sf0.001   0.44  0.64  0.68  0.68  0.68  0.76
+#     sf0.1     0.20  0.25  0.29  0.33  0.35  0.38
+#
+# Monotone through step 3 at both scales, oscillation after (the same
+# quantized-mean flip-flop _pq_codebook_lloyd documents).  Three steps
+# triple the sf0.001 nprobe-1 ceiling and are the chosen default.
+
+_IVF_LLOYD_STEPS = 3
+
+
+def _ivf_centroids_lloyd(emb: DataFrame, steps: int = None) -> DataFrame:
+    """(centroid_id, cv): the seed coarse centroids refined by
+    _IVF_LLOYD_STEPS exact-integer Lloyd steps over the FULL quantized
+    vectors — per step, assign every vector to its nearest (min squared
+    L2, centroid_id tie-break) current centroid and re-center each
+    cluster on its members' elementwise mean in _PQ_LLOYD_Q fixed-point
+    ((s * Q) DIV n, truncating division = DuckDB //).  Empty clusters
+    keep the previous centroid.  Returned centroids are in Q units.
+
+    Shape per step: one broadcast crossJoin assignment (|N| x |C| rows,
+    window bounded by |C|), one posexplode -> (centroid_id, dim) map-
+    side-combinable sum.  Each intermediate centroid table (|C| rows,
+    heavy subtree, two consumers: next assignment + empty-cluster
+    coalesce) is persisted with an eager fill."""
+    if steps is None:
+        steps = _IVF_LLOYD_STEPS
+    q = _PQ_LLOYD_Q
+    cents = emb.where(F.col("vec_id") % _IVF_CENTROID_MOD == 1).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("qv", lambda x: x * q).alias("cv"),
+    )
+    for _ in range(steps):
+        # eager lineage cut, not just a persist: every step's plan embeds
+        # the previous step's windows/aggregations, and Catalyst re-analyzes
+        # the WHOLE tree per consumer even when cached — three chained steps
+        # measured ~2 s/step of pure plan work per action (the
+        # connected-components lesson).  The centroid table is |C| rows.
+        cents = cents.localCheckpoint(eager=True)
+        assign = _ivf_lloyd_assign(emb, cents).select("vec_id", "centroid_id")
+        sums = (
+            emb.join(assign, "vec_id")
+            .select("centroid_id", F.posexplode("qv").alias("d", "v"))
+            .groupBy("centroid_id", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        refined = (
+            sums.select(
+                "centroid_id", "d", F.expr(f"(s * {q}) DIV n").alias("cvd")
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "cvd"))),
+                    lambda s: s["cvd"],
+                ).alias("cv_r")
+            )
+        )
+        prev = cents.withColumnRenamed("cv", "cv_0")
+        cents = prev.join(refined, "centroid_id", "left").select(
+            "centroid_id", F.coalesce("cv_r", "cv_0").alias("cv")
+        )
+    return cents
+
+
+def _ivf_lloyd_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id, d2): every vector's nearest refined
+    centroid by exact squared L2 in Q^2 units (Q-scaled vector vs
+    Q-unit centroid), centroid_id ascending tie-break."""
+    q = _PQ_LLOYD_Q
+    sqv = F.transform("qv", lambda x: x * q)
+    d2 = F.aggregate(
+        F.zip_with(sqv, F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "centroid_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "d2")
+    )
+
+
+def _ivf_lloyd_chain(steps: int = None) -> str:
+    """DuckDB CTE chain mirroring _ivf_centroids_lloyd, appended after a
+    `q` CTE (vec_id, qv).  Defines `qs` (Q-scaled vectors) and ends with
+    `ck` (the refined centroid table, Q units)."""
+    if steps is None:
+        steps = _IVF_LLOYD_STEPS
+    q = _PQ_LLOYD_Q
+    sql = f""" qs AS (
+    SELECT vec_id, list_transform(qv, x -> x * {q}) AS sq FROM q
+  ), ck0 AS (
+    SELECT vec_id AS centroid_id, list_transform(qv, x -> x * {q}) AS cv
+    FROM q WHERE vec_id % {_IVF_CENTROID_MOD} = 1
+  )"""
+    for t in range(1, steps + 1):
+        sql += f"""
+  , csc{t} AS (
+    SELECT s.vec_id, c.centroid_id,
+           CAST(list_dot_product(s.sq, s.sq)
+                - 2 * list_dot_product(s.sq, c.cv)
+                + list_dot_product(c.cv, c.cv) AS BIGINT) AS d2
+    FROM qs s CROSS JOIN ck{t - 1} c
+  ), casg{t} AS (
+    SELECT vec_id, centroid_id FROM (
+      SELECT vec_id, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2 ASC, centroid_id ASC) AS rn
+      FROM csc{t}
+    ) WHERE rn = 1
+  ), cdims{t} AS (
+    SELECT a.centroid_id, i AS d, q.qv[CAST(i + 1 AS BIGINT)] AS v
+    FROM q JOIN casg{t} a ON q.vec_id = a.vec_id,
+         unnest(range(0, len(q.qv))) AS r(i)
+  ), csums{t} AS (
+    SELECT centroid_id, d, CAST(SUM(v) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM cdims{t} GROUP BY centroid_id, d
+  ), cref{t} AS (
+    SELECT centroid_id, list((s * {q}) // n ORDER BY d) AS cv
+    FROM csums{t} GROUP BY centroid_id
+  ), ck{t} AS (
+    SELECT c.centroid_id, COALESCE(r.cv, c.cv) AS cv
+    FROM ck{t - 1} c LEFT JOIN cref{t} r USING (centroid_id)
+  )"""
+    sql += f"""
+  , ck AS (SELECT centroid_id, cv FROM ck{steps})"""
+    return sql
+
+
+def q_ann_ivf_centroids_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained coarse quantizer itself, exploded to (centroid_id,
+    d, cvq) rows (Q fixed-point units) — the index-build artifact a
+    production deployment persists and every ck search variant routes
+    against."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qv")
+    )
+    emb = emb.persist()
+    emb.count()
+    return _ivf_centroids_lloyd(emb).select(
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.posexplode("cv").alias("d", "cvq"),
+    ).select(
+        "centroid_id", F.col("d").cast("long").alias("d"), F.col("cvq").cast("long").alias("cvq")
+    )
+
+
+_IVF_CENTROIDS_LLOYD_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),{_ivf_lloyd_chain()}
+SELECT centroid_id, CAST(i AS BIGINT) AS d,
+       CAST(cv[CAST(i + 1 AS BIGINT)] AS BIGINT) AS cvq
+FROM ck, unnest(range(0, len(cv))) AS r(i)
+"""
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus k-means rollup (the classic embedding-space corpus
+    analysis): every vector assigned to its Lloyd-refined centroid,
+    then per cluster its size and integer inertia — sum and truncated
+    mean of the squared L2 distances de-scaled from Q^2 back to raw
+    quantization units per row BEFORE summing, so the totals stay in
+    BIGINT range at any corpus size (d2 <= ~4e15 per vector; de-scaled
+    ~4e9, 2e9 rows away from overflow)."""
+    q2 = _PQ_LLOYD_Q * _PQ_LLOYD_Q
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qv")
+    )
+    emb = emb.persist()
+    emb.count()
+    cents = _ivf_centroids_lloyd(emb).persist()
+    cents.count()
+    assign = _ivf_lloyd_assign(emb, cents)
+    return (
+        assign.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.expr(f"d2 DIV {q2}")).cast("long").alias("sum_d2q"),
+        )
+        .select(
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            "n_members",
+            "sum_d2q",
+            F.expr("sum_d2q DIV n_members").cast("long").alias("mean_d2q"),
+        )
+    )
+
+
+_KMEANS_CLUSTERS_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),{_ivf_lloyd_chain()}, kfin AS (
+  SELECT vec_id, centroid_id, d2 FROM (
+    SELECT s.vec_id, ck.centroid_id,
+           CAST(list_dot_product(s.sq, s.sq)
+                - 2 * list_dot_product(s.sq, ck.cv)
+                + list_dot_product(ck.cv, ck.cv) AS BIGINT) AS d2,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                              ORDER BY CAST(list_dot_product(s.sq, s.sq)
+                                            - 2 * list_dot_product(s.sq, ck.cv)
+                                            + list_dot_product(ck.cv, ck.cv)
+                                        AS BIGINT) ASC,
+                                       ck.centroid_id ASC) AS rn
+    FROM qs s CROSS JOIN ck
+  ) WHERE rn = 1
+)
+SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(d2 // {_PQ_LLOYD_Q * _PQ_LLOYD_Q}) AS BIGINT) AS sum_d2q,
+       CAST(SUM(d2 // {_PQ_LLOYD_Q * _PQ_LLOYD_Q}) // COUNT(*) AS BIGINT)
+         AS mean_d2q
+FROM kfin GROUP BY centroid_id
+"""
+
+
+def q_ann_ivfpq_rerank_ck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact rerank under the TRAINED coarse quantizer: the
+    ann_ivfpq_rerank read path with routing swapped from seed+max-dot
+    to Lloyd-refined centroids + min-L2 — the recall win the rerank
+    tier proved was routing-bound (in-list ceiling 0.20 -> 0.33 at
+    sf0.1 nprobe=2; recall strictly above ann_ivfpq_rerank is pinned
+    by tests/test_pq.py)."""
+    return _ivfpq_search(
+        spark, sf_dir, lloyd=True, nprobe=2, rerank=_RERANK_R, ck=True
+    )
 
 
 # --- per-label embedding statistics (drift / cluster monitoring) ---------------------------
@@ -1881,6 +2171,9 @@ EXTRA_QUERIES_EXT = {
     "paragraph_lang_profile": q_paragraph_lang_profile,  # mixed-language docs
     "event_transitions": q_event_transitions,  # behavioral Markov surface
     "event_gap_histogram": q_event_gap_histogram,  # session-gap calibration
+    "ann_ivf_centroids_lloyd": q_ann_ivf_centroids_lloyd,  # trained router
+    "kmeans_clusters": q_kmeans_clusters,  # corpus k-means rollup
+    "ann_ivfpq_rerank_ck": q_ann_ivfpq_rerank_ck,  # trained-routing read path
 }
 
 EXTRA_ORACLES_EXT = {
@@ -1899,4 +2192,9 @@ EXTRA_ORACLES_EXT = {
     "paragraph_lang_profile": _paragraph_lang_sql(),
     "event_transitions": _EVENT_TRANSITIONS_SQL,
     "event_gap_histogram": _EVENT_GAP_HIST_SQL,
+    "ann_ivf_centroids_lloyd": _IVF_CENTROIDS_LLOYD_SQL,
+    "kmeans_clusters": _KMEANS_CLUSTERS_SQL,
+    "ann_ivfpq_rerank_ck": _ivfpq_sql(
+        lloyd=True, nprobe=2, rerank=_RERANK_R, ck=True
+    ),
 }

@@ -82,12 +82,17 @@ def run_streaming_ann_ingest(
     land their packed code rows under ``<index>/codes_stream/batch=<id>``.
     Restarting from the checkpoint resumes at the first unprocessed
     file; replayed batches overwrite their own subdirectory."""
+    from ..jobs.ann_index import _coarse_kind
+
     centroids = spark.read.parquet(f"{index_path}/centroids")
     codebook = spark.read.parquet(f"{index_path}/codebook")
+    coarse = _coarse_kind(spark, index_path)
     stream = spark.readStream.schema(EMBEDDINGS_FLAT).parquet(input_path)
 
     def _emit(batch_df: DataFrame, batch_id: int) -> None:
-        codes = encode_frames(quantized(batch_df), centroids, codebook)
+        codes = encode_frames(
+            quantized(batch_df), centroids, codebook, coarse=coarse
+        )
         codes.write.mode("overwrite").parquet(
             f"{index_path}/codes_stream/batch={int(batch_id)}"
         )

@@ -52,6 +52,7 @@ def main() -> None:
         "ann_ivfpq_search_lloyd",
         "ann_ivfpq_search_lloyd_p2",
         "ann_ivfpq_rerank",
+        "ann_ivfpq_rerank_ck",
     ]
     report = {"sf": args.sf, "n_truth_pairs": len(truth), "tiers": {}}
     for name in tiers:

@@ -237,3 +237,86 @@ def test_index_manifest_and_dim_validation(spark, tmp_path):
         run_add(
             parse_args(["add", "--embeddings", bad, "--index", index]), spark
         )
+
+
+def test_coarse_lloyd_index_roundtrip_and_metric_consistency(spark, tmp_path):
+    """--coarse-lloyd: the manifest records the trained kind, disk
+    frames search identically to in-memory frames under the l2q metric,
+    every indexed vector self-hits at rank 1 on the rerank path, and
+    the add path encodes with the STORED metric (a vector added later
+    lands in the same list a build-time encode would give it)."""
+    from pyspark.sql import functions as F
+
+    from coa_ocr_simple_spark.jobs.ann_index import _coarse_kind, run_add
+
+    index = str(tmp_path / "index_ck")
+    run_build(
+        parse_args(
+            ["build", "--embeddings", EMB, "--index", index, "--coarse-lloyd"]
+        ),
+        spark,
+    )
+    assert _coarse_kind(spark, index) == "lloyd_l2"
+    meta = spark.read.parquet(f"{index}/meta").collect()[0]
+    assert meta["coarse"] == "lloyd_l2"
+
+    emb = quantized(spark.read.parquet(EMB)).persist()
+    emb.count()
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+
+    centroids = spark.read.parquet(f"{index}/centroids")
+    codebook = spark.read.parquet(f"{index}/codebook")
+    codes = spark.read.parquet(f"{index}/codes")
+    mem_centroids, mem_codebook, mem_codes = build_index_frames(
+        emb, coarse="lloyd_l2"
+    )
+    for kwargs in (
+        {"nprobe": 2, "rerank": 32, "vectors": emb},
+        {"nprobe": 1},
+    ):
+        from_disk = search_index_frames(
+            queries, centroids, codebook, codes, coarse="lloyd_l2", **kwargs
+        )
+        in_mem = search_index_frames(
+            queries,
+            mem_centroids,
+            mem_codebook,
+            mem_codes,
+            coarse="lloyd_l2",
+            **kwargs,
+        )
+        assert _rows(from_disk) == _rows(in_mem)
+    spark.catalog.clearCache()
+
+    # self-hit at rank 1 through the rerank path
+    hits = search_index_frames(
+        queries,
+        centroids,
+        codebook,
+        codes,
+        nprobe=2,
+        rerank=32,
+        vectors=emb,
+    ).collect()
+    top = {r["query_id"]: r["neighbor_id"] for r in hits if r["rank"] == 1}
+    assert top and all(q == n for q, n in top.items())
+    spark.catalog.clearCache()
+
+    # add-path metric consistency: drop the odd-id code rows, re-add the
+    # full table — the re-encoded rows must reproduce the build-time
+    # rows exactly (same list under the trained router, same codes)
+    full_rows = _rows(spark.read.parquet(f"{index}/codes"))
+    odd = emb.where(F.col("vec_id") % 2 == 1).select("vec_id")
+    kept = spark.read.parquet(f"{index}/codes").join(
+        odd, "vec_id", "left_anti"
+    )
+    kept.write.mode("overwrite").parquet(str(tmp_path / "codes_tmp"))
+    spark.read.parquet(str(tmp_path / "codes_tmp")).write.mode(
+        "overwrite"
+    ).parquet(f"{index}/codes")
+    run_add(
+        parse_args(["add", "--embeddings", EMB, "--index", index]), spark
+    )
+    after = _rows(spark.read.parquet(f"{index}/codes"))
+    assert after == full_rows
+    emb.unpersist()
