@@ -1689,6 +1689,184 @@ LEFT JOIN switches s USING (doc_id)
 """
 
 
+# --- language SEGMENTATION (gaps-and-islands over the paragraph votes) ---------------
+#
+# paragraph_lang_profile tells you a document is mixed; segmentation is
+# what a pipeline DOES about it (CCNet splits crawled docs by language
+# before per-language LM filtering).  A segment is a maximal run of
+# CONSECUTIVE decided-or-not paragraphs sharing a vote — adjacency is
+# rank order among NON-EMPTY paragraphs (blank lines never split a
+# segment).  Shape: one posexplode, lag + running sum over the same
+# per-doc window (one shuffle; per-key width = paragraphs per doc,
+# length-linear like every per-doc window in the registry), one hash
+# aggregate.  The split variant re-joins each segment's paragraphs into
+# a payload row — the curate-style rewrite at segment granularity.
+
+
+def _voted_paras(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, para, lang): non-empty paragraphs with their
+    stopword-vote language — the shared front half of the segmentation
+    family (same banks and vote rule as paragraph_lang_profile)."""
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\n{2,}")).alias("pos", "para"),
+    ).where(F.length(F.trim(F.col("para"))) > 0)
+    toks = F.split(F.lower(F.trim(F.col("para"))), r"\s+")
+    hits = {}
+    for lang_name, words in _STOPWORDS.items():
+        bank = F.array(*[F.lit(w) for w in words])
+        hits[lang_name] = F.size(
+            F.filter(toks, lambda t: F.array_contains(bank, t))
+        )
+    en, de, fr = hits["en"], hits["de"], hits["fr"]
+    lang = (
+        F.when((en > de) & (en > fr), F.lit("en"))
+        .when((de > en) & (de > fr), F.lit("de"))
+        .when((fr > en) & (fr > de), F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+    return paras.select("doc_id", "pos", "para", lang.alias("lang"))
+
+
+def _segmented_paras(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, para, lang, seg_id): every non-empty paragraph with
+    its 0-based language-segment id (gaps-and-islands: a segment starts
+    where the vote differs from the previous non-empty paragraph's)."""
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("lang").over(wo)
+    is_start = (prev.isNull() | (F.col("lang") != prev)).cast("long")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        _voted_paras(docs)
+        .withColumn("is_start", is_start)
+        .withColumn("seg_id", F.sum("is_start").over(wrun) - 1)
+        .drop("is_start")
+    )
+
+
+def lang_segments(docs: DataFrame) -> DataFrame:
+    """(doc_id, seg_id, lang, para_start, n_paras, n_chars): the
+    language-segment table of the corpus — one row per maximal
+    same-vote paragraph run."""
+    return (
+        _segmented_paras(docs)
+        .groupBy("doc_id", "seg_id")
+        .agg(
+            F.min("lang").alias("lang"),  # constant within a segment
+            F.min("pos").cast("long").alias("para_start"),
+            F.count(F.lit(1)).cast("long").alias("n_paras"),
+            F.sum(F.length("para").cast("long")).alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            F.col("seg_id").cast("long").alias("seg_id"),
+            "lang",
+            "para_start",
+            "n_paras",
+            "n_chars",
+        )
+    )
+
+
+def q_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_segments(_read(spark, sf_dir, "documents"))
+
+
+def split_lang_segments(docs: DataFrame) -> DataFrame:
+    """(doc_id, seg_id, lang, text, n_chars): the CCNet-style rewrite —
+    each language segment becomes its own payload row, paragraphs
+    re-joined with a normalized blank line.  Documents with no
+    non-empty paragraph vanish (nothing to keep)."""
+    return (
+        _segmented_paras(docs)
+        .groupBy("doc_id", "seg_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                "\n\n",
+            ).alias("text"),
+        )
+        .select(
+            "doc_id",
+            F.col("seg_id").cast("long").alias("seg_id"),
+            "lang",
+            "text",
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def q_lang_segment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_lang_segments(_read(spark, sf_dir, "documents"))
+
+
+def _lang_seg_ctes() -> str:
+    """Shared oracle CTE chain ending in `segd` (doc_id, pos, para,
+    lang, seg_id) — mirrors _segmented_paras."""
+    banks = {k: repr(v) for k, v in _STOPWORDS.items()}
+    return f"""
+WITH split0 AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\n{{2,}}') AS arr
+  FROM documents
+), paras0 AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, arr[CAST(i + 1 AS BIGINT)] AS para
+  FROM split0, unnest(range(0, len(arr))) AS r(i)
+), paras AS (
+  SELECT doc_id, pos, para FROM paras0
+  WHERE LENGTH(TRIM(para)) > 0
+), voted AS (
+  SELECT doc_id, pos, para,
+         CASE WHEN sw_en > sw_de AND sw_en > sw_fr THEN 'en'
+              WHEN sw_de > sw_en AND sw_de > sw_fr THEN 'de'
+              WHEN sw_fr > sw_en AND sw_fr > sw_de THEN 'fr'
+              ELSE 'unknown' END AS lang
+  FROM (
+    SELECT doc_id, pos, para,
+      len(list_filter(t, x -> list_contains({banks['en']}, x))) AS sw_en,
+      len(list_filter(t, x -> list_contains({banks['de']}, x))) AS sw_de,
+      len(list_filter(t, x -> list_contains({banks['fr']}, x))) AS sw_fr
+    FROM (SELECT doc_id, pos, para,
+                 regexp_split_to_array(lower(TRIM(para)), '\\s+') AS t
+          FROM paras)
+  )
+), marked AS (
+  SELECT doc_id, pos, para, lang,
+         CASE WHEN LAG(lang) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS DISTINCT FROM lang
+              THEN 1 ELSE 0 END AS is_start
+  FROM voted
+), segd AS (
+  SELECT doc_id, pos, para, lang,
+         CAST(SUM(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1
+           AS seg_id
+  FROM marked
+)"""
+
+
+_LANG_SEGMENTS_SQL = f"""{_lang_seg_ctes()}
+SELECT doc_id, seg_id, MIN(lang) AS lang,
+       CAST(MIN(pos) AS BIGINT) AS para_start,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(LENGTH(para)) AS BIGINT) AS n_chars
+FROM segd GROUP BY doc_id, seg_id
+"""
+
+_LANG_SEGMENT_SPLIT_SQL = f"""{_lang_seg_ctes()}
+SELECT doc_id, seg_id, lang, text,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars
+FROM (
+  SELECT doc_id, seg_id, MIN(lang) AS lang,
+         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+  FROM segd GROUP BY doc_id, seg_id
+)
+"""
+
+
 def _language_quality_sql() -> str:
     banks = {k: repr(v) for k, v in _STOPWORDS.items()}
     return f"""
@@ -2174,6 +2352,8 @@ EXTRA_QUERIES_EXT = {
     "ann_ivf_centroids_lloyd": q_ann_ivf_centroids_lloyd,  # trained router
     "kmeans_clusters": q_kmeans_clusters,  # corpus k-means rollup
     "ann_ivfpq_rerank_ck": q_ann_ivfpq_rerank_ck,  # trained-routing read path
+    "lang_segments": q_lang_segments,  # language gaps-and-islands table
+    "lang_segment_split": q_lang_segment_split,  # CCNet-style segment rewrite
 }
 
 EXTRA_ORACLES_EXT = {
@@ -2197,4 +2377,6 @@ EXTRA_ORACLES_EXT = {
     "ann_ivfpq_rerank_ck": _ivfpq_sql(
         lloyd=True, nprobe=2, rerank=_RERANK_R, ck=True
     ),
+    "lang_segments": _LANG_SEGMENTS_SQL,
+    "lang_segment_split": _LANG_SEGMENT_SPLIT_SQL,
 }

@@ -100,3 +100,106 @@ def test_curate_drop_mixed_lang_stage(spark, tmp_path):
     assert 2 not in kept
     assert {0, 1, 3} <= kept
     assert summary["n_after_mixed_lang"] == len(kept)
+
+
+def _ref_segments(rows):
+    """Independent Python reference for lang_segments: vote per
+    non-empty paragraph with the same banks, then collapse runs."""
+    import re
+
+    banks = {
+        "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "as"},
+        "de": {"der", "die", "und", "das", "nicht", "von", "mit", "ist", "den", "ein"},
+        "fr": {"le", "la", "les", "et", "des", "un", "une", "est", "pour", "que"},
+    }
+    out = []
+    for doc_id, text in rows:
+        paras = [
+            (pos, p)
+            for pos, p in enumerate(re.split(r"\n{2,}", text))
+            if p.strip()
+        ]
+        segs = []
+        for pos, p in paras:
+            toks = re.split(r"\s+", p.strip().lower())
+            c = {k: sum(t in v for t in toks) for k, v in banks.items()}
+            en, de, fr = c["en"], c["de"], c["fr"]
+            if en > de and en > fr:
+                lang = "en"
+            elif de > en and de > fr:
+                lang = "de"
+            elif fr > en and fr > de:
+                lang = "fr"
+            else:
+                lang = "unknown"
+            if segs and segs[-1]["lang"] == lang:
+                segs[-1]["n_paras"] += 1
+                segs[-1]["n_chars"] += len(p)
+                segs[-1]["paras"].append(p)
+            else:
+                segs.append(
+                    {
+                        "lang": lang,
+                        "para_start": pos,
+                        "n_paras": 1,
+                        "n_chars": len(p),
+                        "paras": [p],
+                    }
+                )
+        for seg_id, s in enumerate(segs):
+            out.append(
+                (
+                    doc_id,
+                    seg_id,
+                    s["lang"],
+                    s["para_start"],
+                    s["n_paras"],
+                    s["n_chars"],
+                    "\n\n".join(s["paras"]),
+                )
+            )
+    return out
+
+
+def test_lang_segments_against_independent_reference(spark):
+    from coa_ocr_simple_spark.plans.driver_queries_ext import (
+        lang_segments,
+        split_lang_segments,
+    )
+
+    rows = [
+        (0, EN + "\n\n" + EN + "\n\n" + DE + "\n\n" + DE + "\n\n" + EN),
+        (1, EN),  # single segment
+        (2, ""),  # vanishes
+        (3, DE + "\n\n\n\n" + DE + "\n\n" + "zz qq" + "\n\n" + FR),
+        (4, "zz\n\nqq"),  # two empty-vote paragraphs -> ONE unknown run
+        (5, FR + "\n\n" + EN + "\n\n" + FR),  # three singleton segments
+    ]
+    ref = _ref_segments(rows)
+    got = sorted(
+        (
+            r["doc_id"],
+            r["seg_id"],
+            r["lang"],
+            r["para_start"],
+            r["n_paras"],
+            r["n_chars"],
+        )
+        for r in lang_segments(_df(spark, rows)).collect()
+    )
+    spark.catalog.clearCache()
+    assert got == sorted(t[:6] for t in ref)
+
+    split = sorted(
+        (r["doc_id"], r["seg_id"], r["lang"], r["text"], r["n_chars"])
+        for r in split_lang_segments(_df(spark, rows)).collect()
+    )
+    spark.catalog.clearCache()
+    assert split == sorted(
+        (d, s, lang, text, len(text)) for d, s, lang, st, np_, nc, text in ref
+    )
+    # segment invariants: doc 0 has runs en(2) de(2) en(1)
+    d0 = [t for t in got if t[0] == 0]
+    assert [(t[2], t[4]) for t in d0] == [("en", 2), ("de", 2), ("en", 1)]
+    # empty doc contributes nothing
+    assert not [t for t in got if t[0] == 2]
