@@ -2069,6 +2069,133 @@ FROM hist
 
 
 
+# --- point-in-interval (range) join, bucketized --------------------------------------
+#
+# The classic Spark scale trap: a naive `points JOIN intervals ON ts
+# BETWEEN lo AND hi` has no equi-key, so Catalyst plans a
+# BroadcastNestedLoopJoin — O(|points| x |intervals|) comparisons, and
+# a driver OOM the moment the interval side outgrows the broadcast
+# threshold.  The standard fix is to BIN THE TIME AXIS: pick a bucket
+# width >= the widest interval, explode each interval into the (at
+# most two) buckets it overlaps, bucket each point once, equi-join on
+# the bucket, and re-check the exact BETWEEN as a cheap post-filter.
+# The join becomes a shuffled/broadcast HASH join that scales linearly
+# with points and intervals.  The demo instance: "incident windows" —
+# +/-30 min around the corpus's top-8 events by value — scored by how
+# many events (and how much value) fall inside each window.
+
+_IVAL_HALF_US = 1_800_000_000  # 30 min in microseconds
+_IVAL_BUCKET_US = 2 * _IVAL_HALF_US  # bucket width == interval width
+_IVAL_TOP = 8
+
+
+def _epoch_us_ntz(c: str):
+    """Exact integer epoch microseconds from the NTZ wall clock via
+    integer field extraction — NEVER cast('timestamp_ltz')+unix_micros,
+    which shifts by spark.sql.session.timeZone (the event_funnel
+    recipe; parity with DuckDB's tz-free epoch_us must not depend on a
+    UTC-default JVM)."""
+    col = F.col(c)
+    frac_us = F.expr(f"extract(second from {c})") * 1000000
+    return (
+        F.datediff(col.cast("date"), F.lit("1970-01-01")).cast("long")
+        * F.lit(86_400_000_000)
+        + F.hour(col).cast("long") * F.lit(3_600_000_000)
+        + F.minute(col).cast("long") * F.lit(60_000_000)
+        + frac_us.cast("long")
+    )
+
+
+def interval_event_counts(events: DataFrame) -> DataFrame:
+    """(anchor_id, n_events, sum_value_mille): for each of the top-8
+    events by mille-quantized value (event_id tie-break), the count and
+    integer value-sum of OTHER events within +/-30 min.  Anchors with
+    an empty window still appear (zero row).  Ranking uses the
+    quantized value in BOTH engines — ranking doubles and quantizing
+    after would let sub-mille ties order differently."""
+    ev = events.select(
+        "event_id",
+        _epoch_us_ntz("ts").alias("us"),
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    ev = ev.persist()
+    ev.count()  # anchor scan + point scan
+    b = _IVAL_BUCKET_US
+    anchors = (
+        ev.orderBy(F.desc("vm"), F.asc("event_id"))
+        .limit(_IVAL_TOP)  # TakeOrderedAndProject — no global window
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            (F.col("us") - _IVAL_HALF_US).alias("lo"),
+            (F.col("us") + _IVAL_HALF_US).alias("hi"),
+        )
+        # an interval exactly one bucket wide overlaps exactly two
+        # buckets (one when lo is bucket-aligned); sequence() keeps it
+        # correct for ANY width <= the bucket size
+        .select(
+            "anchor_id",
+            "lo",
+            "hi",
+            F.explode(
+                F.sequence(F.expr(f"lo DIV {b}"), F.expr(f"hi DIV {b}"))
+            ).alias("bkt"),
+        )
+    )
+    points = ev.select(
+        F.col("event_id").alias("point_id"),
+        "us",
+        "vm",
+        F.expr(f"us DIV {b}").alias("bkt"),
+    )
+    hits = (
+        F.broadcast(anchors)
+        .join(points, "bkt")
+        .where(
+            F.col("us").between(F.col("lo"), F.col("hi"))
+            & (F.col("point_id") != F.col("anchor_id"))
+        )
+        .groupBy("anchor_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("vm").cast("long").alias("sum_value_mille"),
+        )
+    )
+    all_anchors = anchors.select("anchor_id").distinct()
+    return all_anchors.join(hits, "anchor_id", "left").select(
+        "anchor_id",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("sum_value_mille", F.lit(0)).cast("long").alias(
+            "sum_value_mille"
+        ),
+    )
+
+
+def q_interval_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interval_event_counts(_read(spark, sf_dir, "events"))
+
+
+# the oracle states the SEMANTICS (a naive BETWEEN join) — the whole
+# point of the Spark side is that its bucketized plan computes the same
+# values without ever planning a nested-loop join
+_INTERVAL_EVENT_COUNTS_SQL = f"""
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) AS us,
+         CAST(ROUND(value * 1000) AS BIGINT) AS vm
+  FROM events
+), anchors AS (
+  SELECT event_id AS anchor_id,
+         us - {_IVAL_HALF_US} AS lo, us + {_IVAL_HALF_US} AS hi
+  FROM ev ORDER BY vm DESC, event_id ASC LIMIT {_IVAL_TOP}
+)
+SELECT a.anchor_id,
+       CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+       CAST(COALESCE(SUM(e.vm), 0) AS BIGINT) AS sum_value_mille
+FROM anchors a LEFT JOIN ev e
+  ON e.us BETWEEN a.lo AND a.hi AND e.event_id != a.anchor_id
+GROUP BY a.anchor_id
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts after a >30-min gap;
     classic lag + cumulative-sum window composition, then per-session
@@ -2354,6 +2481,7 @@ EXTRA_QUERIES_EXT = {
     "ann_ivfpq_rerank_ck": q_ann_ivfpq_rerank_ck,  # trained-routing read path
     "lang_segments": q_lang_segments,  # language gaps-and-islands table
     "lang_segment_split": q_lang_segment_split,  # CCNet-style segment rewrite
+    "interval_event_counts": q_interval_event_counts,  # bucketized range join
 }
 
 EXTRA_ORACLES_EXT = {
@@ -2379,4 +2507,5 @@ EXTRA_ORACLES_EXT = {
     ),
     "lang_segments": _LANG_SEGMENTS_SQL,
     "lang_segment_split": _LANG_SEGMENT_SPLIT_SQL,
+    "interval_event_counts": _INTERVAL_EVENT_COUNTS_SQL,
 }
