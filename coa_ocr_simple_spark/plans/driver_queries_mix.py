@@ -41,7 +41,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .driver_queries import _docs
-from .driver_queries_quality import _HEXS, _md5_prefix_sql, _md5_prefix_val
+
+# Defined BEFORE the driver_queries_quality import below: the import
+# chain sketch -> mix -> quality -> dedup re-enters THIS module at
+# dedup's registry build (`_lsh_calibration_sql` lazily imports
+# _hex_int_sql), so the helpers it needs must already exist on the
+# partially initialized module or importing the sketch module first
+# deadlocks the package (circular-import ImportError, found by the
+# cms_stream tests).
+_HEXS = "0123456789abcdef"  # same constant driver_queries_quality owns
+
+
+def _hex_int_val(h, start: int, nd: int):
+    """Integer value of nd hex digits of an md5 string starting at
+    1-based `start` — the _md5_prefix_val recipe widened to long."""
+    v = F.lit(0).cast("long")
+    for i in range(nd):
+        v = v * 16 + (F.instr(F.lit(_HEXS), F.substring(h, start + i, 1)) - 1)
+    return v
+
+
+def _hex_int_sql(expr: str, start: int, nd: int) -> str:
+    terms = [
+        f"CAST(instr('{_HEXS}', substring({expr}, {start + i}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (nd - 1 - i)}"
+        for i in range(nd)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+from .driver_queries_quality import _md5_prefix_sql, _md5_prefix_val  # noqa: E402
 
 # --- ExactSubstr-style token-block dedup --------------------------------------------------
 
@@ -335,15 +364,6 @@ _SPAN_B1 = 1000003  # plane bases (distinct primes); two 31-bit planes
 _SPAN_B2 = 999983  #   combined into one 62-bit key: collision ~ n^2 / 2^62
 
 
-def _hex_int_val(h, start: int, nd: int):
-    """Integer value of nd hex digits of an md5 string starting at
-    1-based `start` — the _md5_prefix_val recipe widened to long."""
-    v = F.lit(0).cast("long")
-    for i in range(nd):
-        v = v * 16 + (F.instr(F.lit(_HEXS), F.substring(h, start + i, 1)) - 1)
-    return v
-
-
 def _span_window_occurrences(docs: DataFrame, w: int) -> DataFrame:
     """(doc_id, pos, wh): a rolling polynomial hash of EVERY w-token
     window (stride 1), the suffix-array-free ExactSubstr occurrence
@@ -554,15 +574,6 @@ def exact_substr_cut(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
 
 def q_exact_substr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substr_cut(_docs(spark, sf_dir))
-
-
-def _hex_int_sql(expr: str, start: int, nd: int) -> str:
-    terms = [
-        f"CAST(instr('{_HEXS}', substring({expr}, {start + i}, 1)) - 1 AS BIGINT)"
-        f" * {16 ** (nd - 1 - i)}"
-        for i in range(nd)
-    ]
-    return "(" + " + ".join(terms) + ")"
 
 
 def _span_ctes(w: int) -> str:

@@ -382,6 +382,51 @@ _CMS_PROBE_MOD = 100  # probe vocabulary: terms of docs with doc_id % 100 == 7
 _CMS_PROBE_RES = 7
 
 
+def _cms_planes():
+    """The d (j, c) sketch cells of the `term` column in scope —
+    shared by the grid build, the probe estimate, and the streaming
+    twin (streaming/cms_stream.py)."""
+    h = F.md5("term")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                (_hex_int_val(h, 1 + 8 * j, 8) % _CMS_W).cast("long").alias("c"),
+            )
+            for j in range(_CMS_D)
+        ]
+    )
+
+
+def cms_grid_partials(docs: DataFrame) -> DataFrame:
+    """(j, c, cnt): the Count-Min grid of a document set — AT MOST
+    d * w = 65536 rows no matter the corpus.  Counts are SUM-mergeable
+    across document splits (the property the streaming twin stores)."""
+    token = F.explode(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    ).alias("term")
+    toks = docs.select(F.col("doc_id"), token)
+    return (
+        toks.select(F.explode(_cms_planes()).alias("p"))
+        .groupBy(F.col("p.j").alias("j"), F.col("p.c").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, probe: DataFrame) -> DataFrame:
+    """(term, est_count): min-over-planes Count-Min estimates of the
+    probe terms (a `term` column) against a (j, c, cnt) grid."""
+    return (
+        probe.select("term", F.explode(_cms_planes()).alias("p"))
+        .join(
+            F.broadcast(sketch),
+            (F.col("p.j") == F.col("j")) & (F.col("p.c") == F.col("c")),
+        )
+        .groupBy("term")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
 def cms_term_counts(docs: DataFrame) -> DataFrame:
     """(term, est_count, exact_count): Count-Min frequency estimates for
     the probe vocabulary, with the exact counts alongside.
@@ -396,36 +441,13 @@ def cms_term_counts(docs: DataFrame) -> DataFrame:
     ).alias("term")
     toks = docs.select(F.col("doc_id"), token)
 
-    h = F.md5("term")
-    planes = F.array(
-        *[
-            F.struct(
-                F.lit(j).cast("int").alias("j"),
-                (_hex_int_val(h, 1 + 8 * j, 8) % _CMS_W).cast("long").alias("c"),
-            )
-            for j in range(_CMS_D)
-        ]
-    )
-    sketch = (
-        toks.select(F.explode(planes).alias("p"))
-        .groupBy(F.col("p.j").alias("j"), F.col("p.c").alias("c"))
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-
+    sketch = cms_grid_partials(docs)
     probe = (
         toks.where(F.col("doc_id") % _CMS_PROBE_MOD == _CMS_PROBE_RES)
         .select("term")
         .distinct()
     )
-    est = (
-        probe.select("term", F.explode(planes).alias("p"))
-        .join(
-            F.broadcast(sketch),
-            (F.col("p.j") == F.col("j")) & (F.col("p.c") == F.col("c")),
-        )
-        .groupBy("term")
-        .agg(F.min("cnt").alias("est_count"))
-    )
+    est = cms_estimate(sketch, probe)
     exact = (
         toks.join(F.broadcast(probe), "term", "left_semi")
         .groupBy("term")
