@@ -659,13 +659,24 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     depends only on the n_chars ordering — ties share the same value — so
     the histogram formulation is exactly equivalent.
     """
-    from pyspark.sql import Window
-
     hist = (
         _docs(spark, sf_dir)
         .groupBy("n_chars")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("bucket", F.floor(F.col("n_chars") / _QUANTILE_BUCKET_W))
+    )
+    return quantiles_from_hist(hist)
+
+
+def quantiles_from_hist(hist) -> "DataFrame":
+    """Exact rank-ceil(q*n) percentiles from a (n_chars, cnt) value
+    histogram — the back half of q_length_quantiles, shared with the
+    streaming twin (streaming/quantile_stream.py): a histogram is the
+    exact mergeable state for discrete quantiles, so the streamed
+    answer is bit-identical to the batch one."""
+    from pyspark.sql import Window
+
+    hist = hist.withColumn(
+        "bucket", F.floor(F.col("n_chars") / _QUANTILE_BUCKET_W)
     )
     bt = hist.groupBy("bucket").agg(F.sum("cnt").alias("bcnt"))
     boff = (

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.driver_queries_sketch import cms_estimate, cms_grid_partials
+from ._sum_state import compact_state, merged_state, write_partial
 from .dedup_stream import DOCUMENTS_FLAT
 
 
@@ -44,17 +45,13 @@ def write_grid_batch(grid: DataFrame, state_path: str, batch_id: int) -> None:
     """Idempotent per-batch state sink (batch_id-keyed overwrite — the
     repo-wide foreachBatch convention, and for a SUM-merged sketch the
     load-bearing half of replay safety)."""
-    grid.write.mode("overwrite").parquet(f"{state_path}/batch={int(batch_id)}")
+    write_partial(grid, state_path, batch_id)
 
 
 def merged_grid(spark: SparkSession, state_path: str) -> DataFrame:
     """(j, c, cnt): the sum-merge of every partial written so far — the
     canonical current sketch."""
-    return (
-        spark.read.parquet(state_path)
-        .groupBy("j", "c")
-        .agg(F.sum("cnt").cast("long").alias("cnt"))
-    )
+    return merged_state(spark, state_path, ["j", "c"], "cnt")
 
 
 def cms_state_estimate(
@@ -75,36 +72,7 @@ def compact_cms_state(spark: SparkSession, state_path: str) -> None:
     overwriting a live subdirectory rather than double-count against an
     already-folded copy.  Call between triggers or with the query
     stopped."""
-    import os
-    import shutil
-    import tempfile
-
-    batches = sorted(
-        int(name.split("=", 1)[1])
-        for name in os.listdir(state_path)
-        if name.startswith("batch=")
-    )
-    foldable = [b for b in batches[:-1] if b != -1] if len(batches) > 1 else []
-    if not foldable and -1 in batches:
-        return  # nothing to fold beyond the compacted file itself
-    fold_dirs = [f"{state_path}/batch={b}" for b in foldable]
-    if -1 in batches:
-        fold_dirs.append(f"{state_path}/batch=-1")
-    if not fold_dirs:
-        return  # the highest batch id is never folded (replay target)
-    merged = (
-        spark.read.parquet(*fold_dirs)
-        .groupBy("j", "c")
-        .agg(F.sum("cnt").cast("long").alias("cnt"))
-    )
-    tmp = tempfile.mkdtemp(prefix="cms_compact_")
-    try:
-        merged.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/batch=-1")
-        for d in fold_dirs:
-            shutil.rmtree(d)
-        shutil.move(f"{tmp}/batch=-1", os.path.join(state_path, "batch=-1"))
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    compact_state(spark, state_path, ["j", "c"], "cnt")
 
 
 def run_streaming_cms(
