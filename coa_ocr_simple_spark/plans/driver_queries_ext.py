@@ -1257,6 +1257,110 @@ FROM kfin GROUP BY centroid_id
 """
 
 
+# --- cluster-balanced quota sampling ---------------------------------------------------
+#
+# The embedding-space complement of source_quota_sample: cap every
+# k-means cluster at K vectors so a topically-skewed corpus (half the
+# crawl is one template family) cannot dominate a curated sample —
+# DCLM-style topic-diversity sampling, composed from the trained
+# quantizer above + the per-key quota recipe (md5 rank, in-plan
+# mega-key guard) the registry already proves at source granularity.
+
+_CL_QUOTA_K = 15
+_CL_QUOTA_SAFETY = 16
+_CL_QUOTA_CAP = _CL_QUOTA_SAFETY * _CL_QUOTA_K
+
+
+def _cluster_quota_survivors(assign: DataFrame, counts: DataFrame) -> DataFrame:
+    """Rows admitted to the per-cluster ranking window: everything from
+    small clusters, an expected-_CL_QUOTA_CAP md5-prefix slice of mega
+    clusters — the window never sorts more than ~16x the quota per key
+    regardless of how degenerate the clustering is."""
+    from ._hexing import _md5_prefix_val
+
+    pref = assign.join(F.broadcast(counts), "centroid_id")
+    p = _md5_prefix_val(F.col("vec_id"))
+    return pref.where(
+        (F.col("_cl_n") <= _CL_QUOTA_CAP)
+        | (p * F.col("_cl_n") < F.lit(_CL_QUOTA_CAP * 65536))
+    ).select("vec_id", "centroid_id")
+
+
+def q_cluster_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, centroid_id, sample_rank): at most K vectors per
+    trained-k-means cluster, ranked by the content-independent md5 of
+    the vec_id (reproducible, no rand()); exact-result-preserving guard
+    as in source_quota_sample (md5 rank order is prefix-major)."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qv")
+    )
+    emb = emb.persist()
+    emb.count()
+    cents = _ivf_centroids_lloyd(emb).persist()
+    cents.count()
+    assign = (
+        _ivf_lloyd_assign(emb, cents)
+        .select("vec_id", "centroid_id")
+        .persist()  # two consumers: counts + the survivors join
+    )
+    assign.count()
+    counts = assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("_cl_n")
+    )
+    survivors = _cluster_quota_survivors(assign, counts)
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        survivors.select(
+            "vec_id",
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+        )
+        .where(F.col("sample_rank") <= _CL_QUOTA_K)
+    )
+
+
+def _cluster_quota_sql() -> str:
+    from ._hexing import _md5_prefix_sql
+
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),{_ivf_lloyd_chain()}, kassign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT s.vec_id, ck.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                              ORDER BY CAST(list_dot_product(s.sq, s.sq)
+                                            - 2 * list_dot_product(s.sq, ck.cv)
+                                            + list_dot_product(ck.cv, ck.cv)
+                                        AS BIGINT) ASC,
+                                       ck.centroid_id ASC) AS rn
+    FROM qs s CROSS JOIN ck
+  ) WHERE rn = 1
+), kcounts AS (
+  SELECT centroid_id, COUNT(*) AS cl_n FROM kassign GROUP BY centroid_id
+), hashed AS (
+  SELECT a.vec_id, a.centroid_id, c.cl_n,
+         md5(CAST(a.vec_id AS VARCHAR)) AS h
+  FROM kassign a JOIN kcounts c USING (centroid_id)
+), survivors AS (
+  SELECT vec_id, centroid_id, h FROM hashed
+  WHERE cl_n <= {_CL_QUOTA_CAP}
+     OR {_md5_prefix_sql('h')} * cl_n < {_CL_QUOTA_CAP * 65536}
+)
+SELECT vec_id, centroid_id, sample_rank FROM (
+  SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY centroid_id
+                                 ORDER BY h, vec_id) AS BIGINT)
+           AS sample_rank
+  FROM survivors
+) WHERE sample_rank <= {_CL_QUOTA_K}
+"""
+
+
 def q_ann_ivfpq_rerank_ck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ + exact rerank under the TRAINED coarse quantizer: the
     ann_ivfpq_rerank read path with routing swapped from seed+max-dot
@@ -2482,6 +2586,7 @@ EXTRA_QUERIES_EXT = {
     "lang_segments": q_lang_segments,  # language gaps-and-islands table
     "lang_segment_split": q_lang_segment_split,  # CCNet-style segment rewrite
     "interval_event_counts": q_interval_event_counts,  # bucketized range join
+    "cluster_quota_sample": q_cluster_quota_sample,  # topic-diversity quota
 }
 
 EXTRA_ORACLES_EXT = {
@@ -2508,4 +2613,5 @@ EXTRA_ORACLES_EXT = {
     "lang_segments": _LANG_SEGMENTS_SQL,
     "lang_segment_split": _LANG_SEGMENT_SPLIT_SQL,
     "interval_event_counts": _INTERVAL_EVENT_COUNTS_SQL,
+    "cluster_quota_sample": _cluster_quota_sql(),
 }

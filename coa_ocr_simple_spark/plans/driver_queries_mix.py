@@ -40,37 +40,13 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# _hexing is a LEAF (no intra-package imports): importing it first
+# keeps these registry-build-critical helpers available even while this
+# module sits partially initialized inside the package's import cycle
+# (see plans/_hexing.py and CLAUDE.md).
+from ._hexing import _HEXS, _hex_int_sql, _hex_int_val  # noqa: F401
 from .driver_queries import _docs
-
-# Defined BEFORE the driver_queries_quality import below: the import
-# chain sketch -> mix -> quality -> dedup re-enters THIS module at
-# dedup's registry build (`_lsh_calibration_sql` lazily imports
-# _hex_int_sql), so the helpers it needs must already exist on the
-# partially initialized module or importing the sketch module first
-# deadlocks the package (circular-import ImportError, found by the
-# cms_stream tests).
-_HEXS = "0123456789abcdef"  # same constant driver_queries_quality owns
-
-
-def _hex_int_val(h, start: int, nd: int):
-    """Integer value of nd hex digits of an md5 string starting at
-    1-based `start` — the _md5_prefix_val recipe widened to long."""
-    v = F.lit(0).cast("long")
-    for i in range(nd):
-        v = v * 16 + (F.instr(F.lit(_HEXS), F.substring(h, start + i, 1)) - 1)
-    return v
-
-
-def _hex_int_sql(expr: str, start: int, nd: int) -> str:
-    terms = [
-        f"CAST(instr('{_HEXS}', substring({expr}, {start + i}, 1)) - 1 AS BIGINT)"
-        f" * {16 ** (nd - 1 - i)}"
-        for i in range(nd)
-    ]
-    return "(" + " + ".join(terms) + ")"
-
-
-from .driver_queries_quality import _md5_prefix_sql, _md5_prefix_val  # noqa: E402
+from .driver_queries_quality import _md5_prefix_sql, _md5_prefix_val
 
 # --- ExactSubstr-style token-block dedup --------------------------------------------------
 

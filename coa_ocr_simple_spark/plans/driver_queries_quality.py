@@ -31,10 +31,11 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# leaf import FIRST: _md5_prefix_* must exist on this module before the
+# dedup import below re-enters the package cycle (see plans/_hexing.py)
+from ._hexing import _HEXS, _md5_prefix_sql, _md5_prefix_val  # noqa: F401
 from .driver_queries import _docs
 from .driver_queries_dedup import _MIN_BANDS_AGREE, minhash_candidate_pairs
-
-_HEXS = "0123456789abcdef"
 
 # --- Gopher-style repetition filters ------------------------------------------------------
 
@@ -534,17 +535,6 @@ _QUOTA_SAFETY = 16  # pre-filter targets ~16x the quota surviving per mega-sourc
 _QUOTA_CAP = _QUOTA_SAFETY * _QUOTA_K  # sources above this get the hash pre-filter
 
 
-def _md5_prefix_val(col):
-    """Value of the first 4 hex digits of md5(col) as an integer in
-    [0, 65536) — built from instr positions in the hex alphabet, the
-    repo's cross-engine recipe (DuckDB has no hex->int cast)."""
-    h = F.md5(col.cast("string"))
-    v = F.lit(0)
-    for i in range(4):
-        v = v * 16 + (F.instr(F.lit(_HEXS), F.substring(h, i + 1, 1)) - 1)
-    return v
-
-
 def source_quota_sample(docs: DataFrame) -> DataFrame:
     """Keep at most K docs per source, ranked by a content-independent
     deterministic hash (md5 of the doc_id) — reproducible across engines
@@ -596,15 +586,6 @@ def _quota_survivors(docs: DataFrame, counts: DataFrame) -> DataFrame:
 
 def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_quota_sample(_docs(spark, sf_dir))
-
-
-def _md5_prefix_sql(expr: str) -> str:
-    """SQL twin of _md5_prefix_val over an already-md5'd string expr."""
-    terms = [
-        f"(instr('{_HEXS}', substring({expr}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
-        for i in range(4)
-    ]
-    return "(" + " + ".join(terms) + ")"
 
 
 _QUOTA_SQL = f"""

@@ -258,3 +258,72 @@ def test_kmeans_clusters_partition_and_inertia_shrinks(spark):
     spark.catalog.clearCache()
     trained_inertia = sum(r["sum_d2q"] for r in rows)
     assert trained_inertia < seed_inertia
+
+
+def test_cluster_quota_guard_bounds_degenerate_clustering(spark):
+    """All-identical vectors collapse every assignment onto ONE
+    centroid (lowest id wins ties) — the exact degenerate case the
+    in-plan md5-prefix guard exists for: the mega cluster must admit
+    ~_CL_QUOTA_CAP rows to its ranking window, never its full size,
+    and the final sample must equal the unguarded top-K by md5 rank."""
+    import hashlib
+
+    from coa_ocr_simple_spark.plans.driver_queries_ext import (
+        _CL_QUOTA_CAP,
+        _CL_QUOTA_K,
+        _cluster_quota_survivors,
+        _ivf_centroids_lloyd,
+        _ivf_lloyd_assign,
+    )
+
+    n = 20_000
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(7).cast("long")] * 8).alias("qv"),
+    )
+    emb = emb.persist()
+    emb.count()
+    cents = _ivf_centroids_lloyd(emb).persist()
+    cents.count()
+    assign = _ivf_lloyd_assign(emb, cents).select("vec_id", "centroid_id")
+    assign = assign.persist()
+    assign.count()
+    # degenerate: one cluster owns the corpus
+    sizes = {
+        r["centroid_id"]: r["n"]
+        for r in assign.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert max(sizes.values()) == n and len(sizes) == 1
+    counts = assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("_cl_n")
+    )
+    surv = _cluster_quota_survivors(assign, counts)
+    n_surv = surv.count()
+    assert n_surv <= 4 * _CL_QUOTA_CAP, n_surv  # expected ~240, bound 960
+
+    # the guarded window's sample == the unguarded top-K by md5 rank
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    got = sorted(
+        r["vec_id"]
+        for r in surv.select(
+            "vec_id", F.row_number().over(w).alias("r")
+        )
+        .where(F.col("r") <= _CL_QUOTA_K)
+        .collect()
+    )
+    expected = sorted(
+        vid
+        for _, vid in sorted(
+            (hashlib.md5(str(v).encode()).hexdigest(), v) for v in range(n)
+        )[:_CL_QUOTA_K]
+    )
+    assert got == expected
+    emb.unpersist()
+    assign.unpersist()
+    spark.catalog.clearCache()
