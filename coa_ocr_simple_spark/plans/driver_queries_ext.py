@@ -1271,9 +1271,11 @@ _CL_QUOTA_SAFETY = 16
 _CL_QUOTA_CAP = _CL_QUOTA_SAFETY * _CL_QUOTA_K
 
 
-def _cluster_quota_survivors(assign: DataFrame, counts: DataFrame) -> DataFrame:
+def _cluster_quota_survivors(
+    assign: DataFrame, counts: DataFrame, cap: int = _CL_QUOTA_CAP
+) -> DataFrame:
     """Rows admitted to the per-cluster ranking window: everything from
-    small clusters, an expected-_CL_QUOTA_CAP md5-prefix slice of mega
+    small clusters, an expected-``cap`` md5-prefix slice of mega
     clusters — the window never sorts more than ~16x the quota per key
     regardless of how degenerate the clustering is."""
     from ._hexing import _md5_prefix_val
@@ -1281,21 +1283,19 @@ def _cluster_quota_survivors(assign: DataFrame, counts: DataFrame) -> DataFrame:
     pref = assign.join(F.broadcast(counts), "centroid_id")
     p = _md5_prefix_val(F.col("vec_id"))
     return pref.where(
-        (F.col("_cl_n") <= _CL_QUOTA_CAP)
-        | (p * F.col("_cl_n") < F.lit(_CL_QUOTA_CAP * 65536))
+        (F.col("_cl_n") <= cap) | (p * F.col("_cl_n") < F.lit(cap * 65536))
     ).select("vec_id", "centroid_id")
 
 
-def q_cluster_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, centroid_id, sample_rank): at most K vectors per
-    trained-k-means cluster, ranked by the content-independent md5 of
-    the vec_id (reproducible, no rand()); exact-result-preserving guard
-    as in source_quota_sample (md5 rank order is prefix-major)."""
-    emb = _read(spark, sf_dir, "embeddings").select(
-        "vec_id", _quantize(F.col("embedding")).alias("qv")
-    )
-    emb = emb.persist()
-    emb.count()
+def cluster_quota_sample(
+    emb: DataFrame, quota: int = _CL_QUOTA_K
+) -> DataFrame:
+    """(vec_id, centroid_id, sample_rank) over a quantized (vec_id, qv)
+    frame: at most ``quota`` vectors per trained-k-means cluster,
+    ranked by the content-independent md5 of the vec_id (reproducible,
+    no rand()); exact-result-preserving guard as in
+    source_quota_sample (md5 rank order is prefix-major).  Caller
+    persists+fills ``emb`` (three consumers: seeds, Lloyd, assign)."""
     cents = _ivf_centroids_lloyd(emb).persist()
     cents.count()
     assign = (
@@ -1307,7 +1307,9 @@ def q_cluster_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = assign.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("_cl_n")
     )
-    survivors = _cluster_quota_survivors(assign, counts)
+    survivors = _cluster_quota_survivors(
+        assign, counts, cap=_CL_QUOTA_SAFETY * quota
+    )
     w = Window.partitionBy("centroid_id").orderBy(
         F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
     )
@@ -1317,8 +1319,17 @@ def q_cluster_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("centroid_id").cast("long").alias("centroid_id"),
             F.row_number().over(w).cast("long").alias("sample_rank"),
         )
-        .where(F.col("sample_rank") <= _CL_QUOTA_K)
+        .where(F.col("sample_rank") <= quota)
     )
+
+
+def q_cluster_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qv")
+    )
+    emb = emb.persist()
+    emb.count()
+    return cluster_quota_sample(emb)
 
 
 def _cluster_quota_sql() -> str:
