@@ -29,19 +29,23 @@ def write_partial(df: DataFrame, state_path: str, batch_id: int) -> None:
     df.write.mode("overwrite").parquet(f"{state_path}/batch={int(batch_id)}")
 
 
+def _sum_aggs(value):
+    values = [value] if isinstance(value, str) else list(value)
+    return [F.sum(v).cast("long").alias(v) for v in values]
+
+
 def merged_state(
-    spark: SparkSession, state_path: str, keys: list[str], value: str
+    spark: SparkSession, state_path: str, keys: list[str], value
 ) -> DataFrame:
-    """The sum-merge of every partial written so far."""
+    """The sum-merge of every partial written so far.  ``value`` is one
+    column name or a list of additive columns."""
     return (
-        spark.read.parquet(state_path)
-        .groupBy(*keys)
-        .agg(F.sum(value).cast("long").alias(value))
+        spark.read.parquet(state_path).groupBy(*keys).agg(*_sum_aggs(value))
     )
 
 
 def compact_state(
-    spark: SparkSession, state_path: str, keys: list[str], value: str
+    spark: SparkSession, state_path: str, keys: list[str], value
 ) -> None:
     """Fold per-batch partials into a single ``batch=-1`` partial —
     EXCEPT the highest-numbered batch, which stays live as the replay
@@ -58,9 +62,7 @@ def compact_state(
     if not fold_dirs:
         return  # nothing beyond the compacted file / the replay target
     merged = (
-        spark.read.parquet(*fold_dirs)
-        .groupBy(*keys)
-        .agg(F.sum(value).cast("long").alias(value))
+        spark.read.parquet(*fold_dirs).groupBy(*keys).agg(*_sum_aggs(value))
     )
     tmp = tempfile.mkdtemp(prefix="sum_state_compact_")
     try:
