@@ -41,7 +41,19 @@ def _rewrite_in_place(
     io: TableIO, df: DataFrame, path: str
 ) -> None:
     """Materialize ``df`` fully into a staging sibling, then swap it
-    under the original path — never overwrite a path being read."""
+    under the original path — never overwrite a path being read.
+
+    PATH targets only: a catalog (Iceberg) table would instead take a
+    transactional ``DELETE FROM t WHERE id IN (...)`` and needs no
+    staging dance — that branch activates with the Iceberg runtime jar
+    (ICEBERG.md)."""
+    from ..sources.tables import _is_path
+
+    if not _is_path(path):
+        raise ValueError(
+            f"forget rewrites path-based tables; got identifier {path!r} "
+            "(catalog tables want a transactional DELETE instead)"
+        )
     staging = path.rstrip("/") + ".__forget_staging"
     io.overwrite(df, staging)
     shutil.rmtree(path)

@@ -1040,6 +1040,14 @@ _IVFPQ_LLOYD_SQL = _ivfpq_sql(lloyd=True)
 # Monotone through step 3 at both scales, oscillation after (the same
 # quantized-mean flip-flop _pq_codebook_lloyd documents).  Three steps
 # triple the sf0.001 nprobe-1 ceiling and are the chosen default.
+#
+# Scale note (same caveat as the seed router since r4): the mod-97 seed
+# rule makes |C| proportional to the corpus, which keeps the oracle
+# deterministic but is NOT what production would ship — there you cap
+# the seed set at a fixed |C| (e.g. md5-threshold the vec_ids), and
+# everything below (assignment crossJoin, |C|-bounded windows, the
+# per-step recenter aggregate) is already written against an arbitrary
+# centroid frame, so the cap is a one-line change at the seed scan.
 
 _IVF_LLOYD_STEPS = 3
 
