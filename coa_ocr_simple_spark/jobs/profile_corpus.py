@@ -143,15 +143,50 @@ def profile_attributes(docs: DataFrame, signals: list[str]) -> DataFrame:
     return attrs
 
 
+def _cluster_attrs(spark: SparkSession, embeddings: str) -> DataFrame:
+    """(doc_id, cluster_id, cluster_d2q): each document's trained
+    k-means cluster and its de-scaled squared distance to the centroid
+    — the topic handle apply_policy predicates select/balance on
+    (vec_ids share the doc_id domain).  Same exact-integer machinery as
+    the kmeans_clusters extra query."""
+    from ..plans.ann_index import quantized
+    from ..plans.driver_queries_ext import (
+        _PQ_LLOYD_Q,
+        _ivf_centroids_lloyd,
+        _ivf_lloyd_assign,
+    )
+
+    emb = quantized(spark.read.parquet(embeddings)).persist()
+    emb.count()
+    cents = _ivf_centroids_lloyd(emb).persist()
+    cents.count()
+    q2 = _PQ_LLOYD_Q * _PQ_LLOYD_Q
+    return _ivf_lloyd_assign(emb, cents).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("centroid_id").cast("long").alias("cluster_cluster_id"),
+        F.expr(f"d2 DIV {q2}").cast("long").alias("cluster_d2q"),
+    )
+
+
 def run(args: argparse.Namespace, spark: SparkSession) -> dict:
     io = TableIO(spark)
     docs = io.read(args.input)
     signals = [s.strip() for s in args.signals.split(",") if s.strip()]
+    want_cluster = "cluster" in signals
+    if want_cluster:
+        if not args.embeddings:
+            raise ValueError("the cluster signal requires --embeddings")
+        signals = [s for s in signals if s != "cluster"]
     unknown = set(signals) - set(_signal_frames())
     if unknown:
         raise ValueError(f"unknown signals: {sorted(unknown)}")
 
     attrs = profile_attributes(docs, signals)
+    if want_cluster:
+        attrs = attrs.join(
+            _cluster_attrs(spark, args.embeddings), "doc_id", "left"
+        )
+        signals = signals + ["cluster"]
     io.overwrite(attrs, args.output)  # re-runnable control output
 
     # rollup over the MATERIALIZED table — one cheap agg on the written
@@ -180,6 +215,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--input", required=True, help="documents table/path")
     p.add_argument("--output", required=True, help="attributes table/path")
     p.add_argument("--report", default=None, help="rollup-counts table/path")
+    p.add_argument(
+        "--embeddings",
+        default=None,
+        help="embeddings table/path; enables the `cluster` signal "
+        "(trained-k-means cluster id + distance per document)",
+    )
     p.add_argument(
         "--signals",
         default="lq,rep,gq,ng,c4,lm,dsir,nb,ent,ppl,enc,nfc,plang",

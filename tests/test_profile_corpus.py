@@ -155,3 +155,55 @@ def test_profile_unknown_signal_raises(spark, tmp_path):
             ),
             spark,
         )
+
+
+def test_cluster_signal_joins_kmeans_attributes(spark, tmp_path):
+    """--embeddings + the cluster signal: every doc with a matching
+    vec_id gets its trained-k-means cluster id and distance, values
+    identical to the standalone assignment; requesting the signal
+    without --embeddings raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    docs = _corpus(tmp_path)
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    out = str(tmp_path / "attrs_cluster")
+    summary = run(
+        parse_args(
+            [
+                "--input", docs,
+                "--output", out,
+                "--signals", "lq,cluster",
+                "--embeddings", emb,
+            ]
+        ),
+        spark,
+    )
+    assert "cluster" in summary["signals"]
+    attrs = spark.read.parquet(out)
+    assert "cluster_cluster_id" in attrs.columns
+    assert "cluster_d2q" in attrs.columns
+
+    from coa_ocr_simple_spark.jobs.profile_corpus import _cluster_attrs
+
+    ref = {
+        r["doc_id"]: (r["cluster_cluster_id"], r["cluster_d2q"])
+        for r in _cluster_attrs(spark, emb).collect()
+    }
+    spark.catalog.clearCache()
+    for r in attrs.collect():
+        if r["doc_id"] in ref:
+            assert (
+                r["cluster_cluster_id"], r["cluster_d2q"]
+            ) == ref[r["doc_id"]]
+        else:
+            assert r["cluster_cluster_id"] is None
+
+    with pytest.raises(ValueError, match="requires --embeddings"):
+        run(
+            parse_args(
+                ["--input", docs, "--output", out, "--signals", "cluster"]
+            ),
+            spark,
+        )
+    spark.catalog.clearCache()
