@@ -378,6 +378,43 @@ FROM documents
 _MINHASH_BANDS = 8
 _SHINGLE = 8
 
+# any supplementary-plane (astral) code point: rows containing one must
+# take the exact char-array shingle path (see _char_shingles)
+_ASTRAL_RX = "[\\x{10000}-\\x{10FFFF}]"
+
+
+def _char_shingles(df: DataFrame, k: int, out: str = "sh") -> DataFrame:
+    """(input columns..., ``out``): all overlapping k-char shingles of
+    ``text`` as one array column — value-identical to slicing the char
+    array per position, several times cheaper on the BMP-only fast path.
+
+    Fast path: ONE codegen'd ``regexp_extract_all`` with a zero-width
+    lookahead ``(?s)(?=(.{k}))`` replaces len(text) interpreted
+    slice+concat_ws lambda evaluations per document (measured ~2x on the
+    shingle stage, round 6).  Java's regex loop restarts one UTF-16 code
+    UNIT after each zero-width match, so on astral (non-BMP) content it
+    would emit extra lone-surrogate shingles; rows matching _ASTRAL_RX
+    therefore take the original char-array branch (codepoint-exact, and
+    still linear: the array is a bound attribute materialized once in
+    this projection, so CollapseProject cannot re-inline the split into
+    the HOF lambda).  Sub-k docs contribute one whole-text shingle in
+    both branches (slice of a short array == the full text).
+    """
+    rx = f"(?s)(?=(.{{{k}}}))"
+    pre = df.withColumn("_cs", F.split(F.col("text"), ""))
+    n = F.greatest(F.size("_cs") - F.lit(k - 1), F.lit(1))
+    slow = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws("", F.slice(F.col("_cs"), i + 1, F.lit(k))),
+    )
+    shingles = (
+        F.when(F.col("text").rlike(_ASTRAL_RX), slow)
+        .when(F.length("text") < k, F.array(F.col("text")))
+        .otherwise(F.regexp_extract_all(F.col("text"), F.lit(rx), 1))
+    )
+    keep = [c for c in df.columns if c != "text"]
+    return pre.select(*keep, shingles.alias(out))
+
 
 def minhash_bands(docs: DataFrame) -> DataFrame:
     """MinHash-LSH banding, built entirely from JVM-side functions.
@@ -409,29 +446,35 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     """
     if docs.isStreaming:
         return _minhash_bands_rowwise(docs)
-    # char-array shingling: substr(text, i, k) walks the UTF8 bytes to
-    # find position i — O(i) per call, O(len^2) per document, a straggler
-    # on book-length docs (measured 3.4x time for 2x length).  Splitting
-    # to a char array once and slicing it is O(1) per position access.
-    # `cs` is referenced >= 2x in the consuming projection (size + the
-    # lambda) so CollapseProject cannot inline the split into the HOF
-    # lambda, where it would re-evaluate per shingle.
-    pre = docs.select("doc_id", F.split(F.col("text"), "").alias("cs"))
-    n = F.greatest(F.size("cs") - F.lit(_SHINGLE - 1), F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.concat_ws("", F.slice(F.col("cs"), i + 1, F.lit(_SHINGLE))),
+    # shingling via _char_shingles (round 6): regexp lookahead fast path,
+    # char-array branch for astral rows — never substr(text, i, k), whose
+    # per-position byte walk is O(len^2) per document (measured 3.4x time
+    # for 2x length on book-length docs).
+    hashed = (
+        _char_shingles(docs.select("doc_id", "text"), _SHINGLE)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", F.md5("s").alias("h"))
     )
-    hashed = pre.select("doc_id", F.explode(shingles).alias("s")).select(
-        "doc_id", F.md5("s").alias("h")
-    )
+    # numeric band minima (round 6): min() over a STRING aggregation
+    # buffer falls back to SortAggregate (the whole exploded shingle
+    # stream is sorted before partial aggregation); an 8-char lowercase
+    # hex slice orders identically to its numeric value (fixed width,
+    # '0'-'9' < 'a'-'f'), so aggregate min(conv(slice, 16, 10)) as a
+    # LONG — HashAggregate with map-side combine — and re-format with
+    # %08x: bit-identical signatures, no sort of the 18M-row stream.
     mins = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.col("h").substr(F.lit(1 + 3 * b), F.lit(8))).alias(f"_b{b}")
+            F.min(
+                F.conv(F.col("h").substr(F.lit(1 + 3 * b), F.lit(8)), 16, 10).cast(
+                    "long"
+                )
+            ).alias(f"_b{b}")
             for b in range(_MINHASH_BANDS)
         ]
     )
-    sigs = F.array(*[F.col(f"_b{b}") for b in range(_MINHASH_BANDS)])
+    sigs = F.array(
+        *[F.format_string("%08x", F.col(f"_b{b}")) for b in range(_MINHASH_BANDS)]
+    )
     return mins.select(
         "doc_id", F.posexplode(sigs).alias("band", "signature")
     ).withColumn("band", F.col("band").cast("long"))

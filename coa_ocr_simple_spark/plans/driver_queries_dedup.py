@@ -149,19 +149,13 @@ _MIN_BANDS_AGREE = 3  # score only candidates agreeing on >=3/8 bands —
 
 
 def _gram_sets(docs: DataFrame) -> DataFrame:
-    # char-array grams (not substr(text, i, k)): the per-position substr
-    # walks UTF8 bytes to position i — O(len^2) per doc, a straggler on
-    # long docs.  `cs` is referenced twice below (size + lambda) so
-    # CollapseProject keeps the split out of the HOF lambda.
-    pre = docs.select("doc_id", F.split(F.col("text"), "").alias("cs"))
-    n = F.greatest(F.size("cs") - F.lit(_NGRAM - 1), F.lit(1))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda i: F.concat_ws("", F.slice(F.col("cs"), i + 1, F.lit(_NGRAM))),
-        )
-    )
-    return pre.select("doc_id", grams.alias("grams"))
+    # shingling via _char_shingles (round 6): codegen'd regexp lookahead
+    # on BMP rows, char-array branch for astral rows — never
+    # substr(text, i, k), whose per-position byte walk is O(len^2).
+    from .driver_queries import _char_shingles
+
+    sh = _char_shingles(docs.select("doc_id", "text"), _NGRAM)
+    return sh.select("doc_id", F.array_distinct("sh").alias("grams"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
@@ -647,19 +641,32 @@ def connected_components(
     old_parts = sess.conf.get("spark.sql.shuffle.partitions")
     loop_parts = max(1, min(int(old_parts), n_edges // 50_000 + 1))
     sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    # AQE per-stage replanning is pure overhead for a SINGLE-partition
+    # loop shuffle: with one partition there is nothing to coalesce and
+    # no skew to split, but every round still pays 3-4 adaptive stage
+    # re-optimizations (measured round 6: first loop execution 3.1 s ->
+    # 1.0 s with AQE off; steady unchanged).  Larger graphs (loop_parts
+    # > 1) keep AQE — its skew-join splitting is load-bearing there.
+    old_aqe = sess.conf.get("spark.sql.adaptive.enabled")
+    if loop_parts == 1:
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return _cc_loop(both, max_iters, stats)
     finally:
         sess.conf.set("spark.sql.shuffle.partitions", old_parts)
+        sess.conf.set("spark.sql.adaptive.enabled", old_aqe)
         both.unpersist()
 
 
 def _cc_loop(both: DataFrame, max_iters: int, stats: dict | None) -> DataFrame:
+    # LAZY checkpoint (round 6): the init labels are first consumed inside
+    # round 1's materialization, which checkpoints them as a side effect —
+    # one fewer driver-side job per CC invocation, same lineage cut.
     labels = (
         both.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     rounds = 0
     converged = False
@@ -701,10 +708,14 @@ def _cc_loop(both: DataFrame, max_iters: int, stats: dict | None) -> DataFrame:
         # per-row changed flag INTO the checkpoint: the convergence check
         # is then a filter-count over the materialized rows instead of a
         # distributed join of the old and new label sets — one fewer
-        # shuffle join per round, ~log2(diameter) rounds saved per run
+        # shuffle join per round, ~log2(diameter) rounds saved per run.
+        # LAZY checkpoint + count (round 6): the count triggers the
+        # checkpoint materialization AND returns the convergence signal
+        # in the SAME job — halves the per-round driver round trips vs
+        # eager-checkpoint-then-count (measured on the sf0.1 loop).
         flagged = jumped.select(
             "doc_id", "label", (F.col("label") != F.col("_old")).alias("_chg")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         changed = flagged.where(F.col("_chg")).count()
         labels = flagged.select("doc_id", "label")
         if changed == 0:

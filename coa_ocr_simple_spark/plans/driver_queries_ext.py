@@ -133,13 +133,38 @@ def _plane_literal(plane: int, dim: int):
 
 def _probe_dim(spark: SparkSession, sf_dir: str) -> int:
     """Embedding dimensionality, probed from one row at plan-construction
-    time (the synthetic embeddings table is fixed-dim by contract)."""
-    row = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select(F.size("embedding").alias("d"))
-        .first()
-    )
-    return int(row["d"])
+    time (the synthetic embeddings table is fixed-dim by contract).
+
+    Local parquet is read driver-side via pyarrow (one row of one row
+    group, ~ms) instead of launching a Spark job for a single scalar —
+    the same os.stat-class shortcut as ``_spread``.  Non-local paths
+    (hdfs/s3) or any read failure fall back to the Spark probe."""
+    path = f"{sf_dir}/embeddings.parquet"
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            names = sorted(
+                e.name
+                for e in os.scandir(path)
+                if e.is_file() and not e.name.startswith((".", "_"))
+            )
+            if not names:
+                raise FileNotFoundError(path)
+            path = os.path.join(path, names[0])
+        batch = next(
+            pq.ParquetFile(path).iter_batches(batch_size=1, columns=["embedding"])
+        )
+        return len(batch.column(0)[0])
+    except Exception:
+        row = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select(F.size("embedding").alias("d"))
+            .first()
+        )
+        return int(row["d"])
 
 
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
