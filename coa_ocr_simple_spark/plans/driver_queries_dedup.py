@@ -622,12 +622,18 @@ def connected_components(
     """
     if max_iters < 1:
         raise ValueError(f"connected_components: max_iters must be >= 1, got {max_iters}")
-    both = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .unionByName(
-            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # persist the edge frame BEFORE the symmetrizing union (round 6): the
+    # union's two branches are two independent consumers of ``edges``,
+    # and Spark has no cross-branch CSE — un-persisted, the entire
+    # upstream pair chain (bucket self-join + exact scoring) executed
+    # TWICE during the fill below (measured ~1.5 s per clusters query at
+    # sf0.1).  ``both`` itself derives from the cached rows by a column
+    # swap, so it needs no second persist.
+    canon = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    both = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     # size the per-round shuffles to the EDGE count, not the session
     # default: the near-dup graph is orders of magnitude smaller than the
@@ -637,7 +643,9 @@ def connected_components(
     # raised above the session setting, always restored after the loop;
     # the count() doubles as the persist fill for ``both``.
     sess = edges.sparkSession
-    n_edges = both.count()
+    # one eager fill of the canonical edges; the union then reads warm
+    # blocks (n_edges counts both directions, as before)
+    n_edges = 2 * canon.count()
     old_parts = sess.conf.get("spark.sql.shuffle.partitions")
     loop_parts = max(1, min(int(old_parts), n_edges // 50_000 + 1))
     sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
@@ -655,7 +663,7 @@ def connected_components(
     finally:
         sess.conf.set("spark.sql.shuffle.partitions", old_parts)
         sess.conf.set("spark.sql.adaptive.enabled", old_aqe)
-        both.unpersist()
+        canon.unpersist()
 
 
 def _cc_loop(both: DataFrame, max_iters: int, stats: dict | None) -> DataFrame:
@@ -950,21 +958,21 @@ def neardup_pagerank(docs: DataFrame) -> DataFrame:
     """(doc_id, degree, rank_ppm): PageRank after _PR_ITERS integer
     power iterations over the symmetric near-dup candidate graph
     (nodes = docs in >= 1 agreeing candidate pair)."""
+    # persist BEFORE the symmetrizing union (round 6, the
+    # connected_components lesson): the union's two branches would each
+    # re-run the un-persisted pair-agg tail during the fill.
     pairs = (
         minhash_candidate_pairs(docs)
         .where(F.col("n_bands_agree") >= _MIN_BANDS_AGREE)
         .select("doc_a", "doc_b")
-    )
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
-        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    edges.count()  # eager fill: deg + every iteration consume it
+    pairs.count()  # eager fill: both union branches + rounds consume it
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
     deg.count()
