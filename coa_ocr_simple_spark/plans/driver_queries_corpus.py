@@ -932,13 +932,20 @@ def q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _bounded_users(_read(spark, sf_dir, "events"))
     us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
-    views = ev.where(F.col("event_type") == "view").select(
-        "user_id", "ts", "event_id", F.lit(0).alias("kind"), us.alias("us")
+    # single-pass kind projection (round 6): the previous union of two
+    # filtered branches consumed the _bounded_users subtree twice — no
+    # cross-branch CSE, so the count-pass + semi-join (and the events
+    # scan) each executed twice.  A CASE over one filtered pass emits
+    # the identical row set; the window re-sorts anyway.
+    u = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("kind"),
+        us.alias("us"),
     )
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", F.lit(1).alias("kind"), us.alias("us")
-    )
-    u = views.unionByName(clicks)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "kind", "event_id")

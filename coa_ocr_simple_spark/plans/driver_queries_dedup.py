@@ -499,11 +499,16 @@ def semdedup_prune(emb_raw: DataFrame) -> DataFrame:
             .otherwise(F.greatest("id_a", "id_b"))
             .alias("loser"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)  # 2 consumers: counts + losers
+        .persist(StorageLevel.MEMORY_AND_DISK)  # consumers: counts + losers
     )
+    # eager fill (round 6): the counts and losers stages are scheduled
+    # concurrently in the final job — over a COLD cache each would
+    # recompute the whole in-cluster pair scoring (the racing-recompute
+    # hazard measured at 1.75x in _pairs_within_buckets)
+    sim.count()
+    # one-pass endpoint explode instead of a two-branch union
     nsim = (
-        sim.select(F.col("id_a").alias("vec_id"))
-        .unionByName(sim.select(F.col("id_b").alias("vec_id")))
+        sim.select(F.explode(F.array("id_a", "id_b")).alias("vec_id"))
         .groupBy("vec_id")
         .agg(F.count(F.lit(1)).alias("n_sim"))
     )
@@ -1226,9 +1231,10 @@ def neardup_triangles(docs: DataFrame) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pairs.count()  # eager fill: deg + wedges + closure all consume it
+    # one-pass endpoint explode (round 6): explode(array(a, b)) reads the
+    # cached pairs once instead of a two-branch union
     deg = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -1243,10 +1249,13 @@ def neardup_triangles(docs: DataFrame) -> DataFrame:
         ["b", "c"],
         "left_semi",
     )
+    # one-pass corner explode (round 6): the previous three-branch union
+    # consumed the UN-persisted wedge-closure join three times (no
+    # cross-branch CSE — the whole wedge self-join + semi-join executed
+    # per branch); explode(array(a, b, c)) emits the identical rows in
+    # one pass.
     member = (
-        closed.select(F.col("a").alias("doc_id"))
-        .unionByName(closed.select(F.col("b").alias("doc_id")))
-        .unionByName(closed.select(F.col("c").alias("doc_id")))
+        closed.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
