@@ -691,37 +691,44 @@ def _pq_codebook_lloyd(
     cb = _pq_codebook(emb).select(
         "m", "code", F.transform("cwv", lambda x: x * _PQ_LLOYD_Q).alias("cwv")
     )
-    for _ in range(steps):
-        cb = cb.persist()
-        cb.count()
-        assign = _pq_codes_df(emb, cb, scale=_PQ_LLOYD_Q).select(
-            "vec_id", "m", "code"
-        )
-        members = _pq_subspace_explode(emb).join(assign, ["vec_id", "m"])
-        sums = (
-            members.select("m", "code", F.posexplode("sub").alias("d", "v"))
-            .groupBy("m", "code", "d")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-        )
-        refined = (
-            sums.select(
-                "m",
-                "code",
-                "d",
-                F.expr(f"(s * {_PQ_LLOYD_Q}) DIV n").alias("cv"),
+    # per-step EAGER lineage cut under the size-adaptive loop conf
+    # (round 6, the _ivf_centroids_lloyd treatment): persist() per step
+    # does not stop Catalyst re-analyzing the whole chained tree per
+    # consumer, and the per-step shuffles are M*K*dim-bounded
+    with _tiny_loop_conf(emb.sparkSession, emb.count()):
+        for _ in range(steps):
+            cb = cb.localCheckpoint(eager=True)
+            assign = _pq_codes_df(emb, cb, scale=_PQ_LLOYD_Q).select(
+                "vec_id", "m", "code"
             )
-            .groupBy("m", "code")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("d", "cv"))),
-                    lambda s: s["cv"],
-                ).alias("cwv_r")
+            members = _pq_subspace_explode(emb).join(assign, ["vec_id", "m"])
+            sums = (
+                members.select("m", "code", F.posexplode("sub").alias("d", "v"))
+                .groupBy("m", "code", "d")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
             )
-        )
-        prev = cb.withColumnRenamed("cwv", "cwv_0")
-        cb = prev.join(refined, ["m", "code"], "left").select(
-            "m", "code", F.coalesce("cwv_r", "cwv_0").alias("cwv")
-        )
+            refined = (
+                sums.select(
+                    "m",
+                    "code",
+                    "d",
+                    F.expr(f"(s * {_PQ_LLOYD_Q}) DIV n").alias("cv"),
+                )
+                .groupBy("m", "code")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("d", "cv"))),
+                        lambda s: s["cv"],
+                    ).alias("cwv_r")
+                )
+            )
+            prev = cb.withColumnRenamed("cwv", "cwv_0")
+            cb = prev.join(refined, ["m", "code"], "left").select(
+                "m", "code", F.coalesce("cwv_r", "cwv_0").alias("cwv")
+            )
+        # final lineage cut: later consumers analyze a LogicalRDD scan
+        # instead of the full chained tree
+        cb = cb.localCheckpoint(eager=True)
     return cb
 
 
@@ -1077,6 +1084,35 @@ _IVFPQ_LLOYD_SQL = _ivfpq_sql(lloyd=True)
 _IVF_LLOYD_STEPS = 3
 
 
+class _tiny_loop_conf:
+    """Size-adaptive session conf for eagerly-executed iterative loops
+    (the connected_components recipe, round 6): scale the per-step
+    shuffle partition count to the loop's row volume instead of the
+    session default, and disable AQE only when that leaves a SINGLE
+    partition — with one partition there is nothing to coalesce and no
+    skew to split, but every step still pays 3-4 adaptive stage
+    re-optimizations.  At real scale ``n_rows`` keeps the session
+    values; both settings are restored on exit."""
+
+    def __init__(self, sess, n_rows: int):
+        self.conf = sess.conf
+        self.n_rows = n_rows
+
+    def __enter__(self):
+        self.old_parts = self.conf.get("spark.sql.shuffle.partitions")
+        self.old_aqe = self.conf.get("spark.sql.adaptive.enabled")
+        loop_parts = max(1, min(int(self.old_parts), self.n_rows // 50_000 + 1))
+        self.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        if loop_parts == 1:
+            self.conf.set("spark.sql.adaptive.enabled", "false")
+        return self
+
+    def __exit__(self, *exc):
+        self.conf.set("spark.sql.shuffle.partitions", self.old_parts)
+        self.conf.set("spark.sql.adaptive.enabled", self.old_aqe)
+        return False
+
+
 def _ivf_centroids_lloyd(emb: DataFrame, steps: int = None) -> DataFrame:
     """(centroid_id, cv): the seed coarse centroids refined by
     _IVF_LLOYD_STEPS exact-integer Lloyd steps over the FULL quantized
@@ -1098,36 +1134,43 @@ def _ivf_centroids_lloyd(emb: DataFrame, steps: int = None) -> DataFrame:
         F.col("vec_id").alias("centroid_id"),
         F.transform("qv", lambda x: x * q).alias("cv"),
     )
-    for _ in range(steps):
-        # eager lineage cut, not just a persist: every step's plan embeds
-        # the previous step's windows/aggregations, and Catalyst re-analyzes
-        # the WHOLE tree per consumer even when cached — three chained steps
-        # measured ~2 s/step of pure plan work per action (the
-        # connected-components lesson).  The centroid table is |C| rows.
+    # emb is persisted (and usually already counted) by every caller, so
+    # the row probe for the size-adaptive loop conf is a cached count
+    with _tiny_loop_conf(emb.sparkSession, emb.count()):
+        for _ in range(steps):
+            # eager lineage cut, not just a persist: every step's plan embeds
+            # the previous step's windows/aggregations, and Catalyst re-analyzes
+            # the WHOLE tree per consumer even when cached — three chained steps
+            # measured ~2 s/step of pure plan work per action (the
+            # connected-components lesson).  The centroid table is |C| rows.
+            cents = cents.localCheckpoint(eager=True)
+            assign = _ivf_lloyd_assign(emb, cents).select("vec_id", "centroid_id")
+            sums = (
+                emb.join(assign, "vec_id")
+                .select("centroid_id", F.posexplode("qv").alias("d", "v"))
+                .groupBy("centroid_id", "d")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            )
+            refined = (
+                sums.select(
+                    "centroid_id", "d", F.expr(f"(s * {q}) DIV n").alias("cvd")
+                )
+                .groupBy("centroid_id")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("d", "cvd"))),
+                        lambda s: s["cvd"],
+                    ).alias("cv_r")
+                )
+            )
+            prev = cents.withColumnRenamed("cv", "cv_0")
+            cents = prev.join(refined, "centroid_id", "left").select(
+                "centroid_id", F.coalesce("cv_r", "cv_0").alias("cv")
+            )
+        # the LAST step's checkpoint job still runs inside the loop conf:
+        # cut the final lineage here so later consumers re-analyze a
+        # LogicalRDD scan instead of the full 3-step tree
         cents = cents.localCheckpoint(eager=True)
-        assign = _ivf_lloyd_assign(emb, cents).select("vec_id", "centroid_id")
-        sums = (
-            emb.join(assign, "vec_id")
-            .select("centroid_id", F.posexplode("qv").alias("d", "v"))
-            .groupBy("centroid_id", "d")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-        )
-        refined = (
-            sums.select(
-                "centroid_id", "d", F.expr(f"(s * {q}) DIV n").alias("cvd")
-            )
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("d", "cvd"))),
-                    lambda s: s["cvd"],
-                ).alias("cv_r")
-            )
-        )
-        prev = cents.withColumnRenamed("cv", "cv_0")
-        cents = prev.join(refined, "centroid_id", "left").select(
-            "centroid_id", F.coalesce("cv_r", "cv_0").alias("cv")
-        )
     return cents
 
 
