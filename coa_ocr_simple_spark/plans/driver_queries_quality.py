@@ -1235,6 +1235,12 @@ def ngram_repetition_stats(docs: DataFrame) -> DataFrame:
     )
     occ = exi.select("doc_id", "n", "i", gkey.alias("g"))
 
+    # NOTE (round 6, measured): `pre` feeds three subtrees and `cnt` two,
+    # so the token split and gram count agg DO recompute across branches
+    # — but persist+eager-fill on pre/cnt measured NET WORSE here
+    # (2.6-4.2 s -> 3.5-4.5 s same-window A/B at sf0.1): the two
+    # serialized fill passes cost more than the recompute they save.
+    # Left un-persisted deliberately (the bm25-tf lesson).
     cnt = occ.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
     gram_chars = F.length("g") - (F.col("n") - 1)  # 1-char separators
     tops = (
