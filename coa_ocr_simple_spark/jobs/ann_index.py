@@ -95,12 +95,20 @@ def _coarse_kind(spark: SparkSession, index: str) -> str:
     """The routing metric the index was built with, from the meta
     manifest — mixing metrics silently misroutes, so add/search must
     use exactly the build's kind.  Indexes from before the manifest
-    (or before the `coarse` column) are by construction seed_dot."""
-    try:
-        row = spark.read.parquet(f"{index}/meta").collect()[0]
-        return row["coarse"] if "coarse" in row.asDict() else "seed_dot"
-    except Exception:
-        return "seed_dot"
+    (or before the `coarse` column) are by construction seed_dot.
+
+    Only a genuinely ABSENT manifest falls back (round-6 advisor item):
+    a transient read failure on a lloyd_l2 index must raise, not
+    silently encode new vectors under the wrong metric — that would
+    permanently place codes in lists the lloyd-routed search never
+    probes."""
+    import os
+
+    meta_path = f"{index}/meta"
+    if not os.path.exists(meta_path):
+        return "seed_dot"  # pre-manifest index
+    row = spark.read.parquet(meta_path).collect()[0]
+    return row["coarse"] if "coarse" in row.asDict() else "seed_dot"
 
 
 def _check_dim(spark: SparkSession, index: str, frame, what: str) -> None:

@@ -37,11 +37,44 @@ from pyspark.sql import functions as F
 from ..sources.tables import TableIO
 
 
+_STAGING_SUFFIX = ".__forget_staging"
+
+
+def _staging_for(path: str) -> str:
+    """Hidden staging sibling for ``path`` — DOT-prefixed (round-6
+    advisor item) so a leftover never corrupts Spark partition
+    discovery of the parent (a bare ``batch=N.__forget_staging``
+    sibling inside codes_stream broke ingested_codes()/compact
+    readers)."""
+    clean = path.rstrip("/")
+    parent, name = os.path.split(clean)
+    return os.path.join(parent, "." + name + _STAGING_SUFFIX)
+
+
+def _recover_staging(path: str) -> None:
+    """Finish or roll back an interrupted rewrite of ``path`` before
+    touching it (round-6 advisor item): staging alongside an intact
+    target means the swap never started (the staging write may be torn)
+    — discard it; staging with the target MISSING means the crash hit
+    between delete and rename — promote the fully-written staging."""
+    staging = _staging_for(path)
+    if not os.path.exists(staging):
+        return
+    if os.path.exists(path):
+        shutil.rmtree(staging)
+    else:
+        shutil.move(staging, path)
+
+
 def _rewrite_in_place(
     io: TableIO, df: DataFrame, path: str
 ) -> None:
-    """Materialize ``df`` fully into a staging sibling, then swap it
-    under the original path — never overwrite a path being read.
+    """Materialize ``df`` fully into a hidden staging sibling, then swap
+    it under the original path — never overwrite a path being read.
+    Handles single-file parquet targets (a layout this repo's own sf
+    tables use): the old file is os.remove'd and the staging DIRECTORY
+    takes its name.  A crash at any point is repaired by
+    _recover_staging on the next run.
 
     PATH targets only: a catalog (Iceberg) table would instead take a
     transactional ``DELETE FROM t WHERE id IN (...)`` and needs no
@@ -54,9 +87,12 @@ def _rewrite_in_place(
             f"forget rewrites path-based tables; got identifier {path!r} "
             "(catalog tables want a transactional DELETE instead)"
         )
-    staging = path.rstrip("/") + ".__forget_staging"
+    staging = _staging_for(path)
     io.overwrite(df, staging)
-    shutil.rmtree(path)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    else:
+        os.remove(path)
     shutil.move(staging, path)
 
 
@@ -64,6 +100,7 @@ def _scrub(
     io: TableIO, path: str, key: str, ids: DataFrame
 ) -> int:
     """Anti-join rewrite of one parquet path; returns rows removed."""
+    _recover_staging(path)
     before = io.read(path)
     n_before = before.count()
     kept = before.join(
@@ -88,6 +125,7 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
     # would re-read the already-scrubbed path); delete lists are small
     # by the job's contract (they broadcast), so the collect is cheap
     def _present(path: str, key: str) -> set:
+        _recover_staging(path)
         return {
             r[key]
             for r in io.read(path)
@@ -121,16 +159,46 @@ def run(args: argparse.Namespace, spark: SparkSession) -> dict:
         )
         # streaming-ingest area: each batch=N subdirectory is its own
         # parquet root (flat files + partition dirs must not mix), so
-        # scrub them one by one
+        # scrub them one by one — recovering first any staging whose
+        # target dir vanished in a crash (it would not show up in the
+        # batch= listing below)
         stream_dir = f"{args.index}/codes_stream"
         n_stream = 0
         if os.path.isdir(stream_dir):
+            for name in sorted(os.listdir(stream_dir)):
+                if name.startswith(".") and name.endswith(_STAGING_SUFFIX):
+                    target = name[1 : -len(_STAGING_SUFFIX)]
+                    _recover_staging(os.path.join(stream_dir, target))
             for name in sorted(os.listdir(stream_dir)):
                 if name.startswith("batch="):
                     n_stream += _scrub(
                         io, f"{stream_dir}/{name}", "vec_id", ids
                     )
         summary["n_removed_index_stream_codes"] = n_stream
+
+        # seed_dot indexes store RAW seed vectors as centroids, keyed by
+        # the seed's vec_id — a deleted id that seeded a list would
+        # otherwise keep its full embedding (and id) on disk,
+        # contradicting the right-to-be-forgotten contract (round-6
+        # advisor item).  Scrub them too; the orphaned list's members
+        # become unreachable until a rebuild, so the summary says so.
+        # lloyd_l2 centroids are cluster MEANS (no single document's
+        # vector) and are left untouched.
+        from .ann_index import _coarse_kind
+
+        if _coarse_kind(spark, args.index) == "seed_dot":
+            presence["index_centroids"] = _present(
+                f"{args.index}/centroids", "centroid_id"
+            )
+            n_cents = _scrub(
+                io, f"{args.index}/centroids", "centroid_id", ids
+            )
+            summary["n_removed_index_centroids"] = n_cents
+            if n_cents:
+                # the scrubbed seeds' inverted lists are no longer
+                # probed by any search — recall is degraded until
+                # `ann_index build` is re-run over the surviving corpus
+                summary["index_rebuild_recommended"] = True
 
     if args.report:
         # one audit row per requested id: where it was actually found

@@ -17,10 +17,14 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# staging directory for crash-safe compaction, INSIDE state_path so the
+# rename at the end is same-filesystem; the leading dot keeps Spark's
+# root-path partition discovery (merged_state) from ever seeing it
+_COMPACT_TMP = ".compact_tmp"
 
 
 def write_partial(df: DataFrame, state_path: str, batch_id: int) -> None:
@@ -44,31 +48,74 @@ def merged_state(
     )
 
 
+def _finish_compaction(state_path: str) -> None:
+    """Complete (or roll back) a staged compaction — idempotent, called
+    both as the normal commit path and as crash recovery at the start of
+    the next compaction.
+
+    Protocol: the merged partial and THEN a MANIFEST listing the folded
+    ``batch=`` dir names are written under ``.compact_tmp`` before any
+    fold dir is deleted; the manifest's presence is the commit point.
+    - staging without a manifest (crash mid-write): every fold dir is
+      still intact — discard the staging dir, nothing was lost;
+    - staging with a manifest (crash mid-delete/promote): the merged
+      partial already holds every manifest dir's content — delete any
+      listed dir that survives, promote the merged partial to
+      ``batch=-1``, drop the staging dir.  Re-running after a crash
+      inside THIS function redoes the same idempotent steps."""
+    tmp = os.path.join(state_path, _COMPACT_TMP)
+    if not os.path.isdir(tmp):
+        return
+    manifest = os.path.join(tmp, "MANIFEST")
+    out = os.path.join(tmp, "batch=-1")
+    if not (os.path.isfile(manifest) and os.path.isdir(out)):
+        shutil.rmtree(tmp)  # uncommitted staging; fold dirs all intact
+        return
+    with open(manifest) as f:
+        folded = [line.strip() for line in f if line.strip()]
+    for name in folded:
+        p = os.path.join(state_path, name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    shutil.move(out, os.path.join(state_path, "batch=-1"))
+    shutil.rmtree(tmp)
+
+
 def compact_state(
     spark: SparkSession, state_path: str, keys: list[str], value
 ) -> None:
     """Fold per-batch partials into a single ``batch=-1`` partial —
     EXCEPT the highest-numbered batch, which stays live as the replay
-    target.  Call between triggers or with the query stopped."""
+    target.  Call between triggers or with the query stopped.
+
+    Crash-safe (round 6, advisor item): the merged replacement is staged
+    INSIDE ``state_path`` and committed via a manifest before any fold
+    dir is deleted — a kill at any point either leaves every fold dir
+    intact (staging discarded) or completes deterministically on the
+    next call (see _finish_compaction); summed state can no longer be
+    silently lost, which the + merge could never detect or repair."""
+    _finish_compaction(state_path)  # recover any interrupted run first
     batches = sorted(
         int(name.split("=", 1)[1])
         for name in os.listdir(state_path)
         if name.startswith("batch=")
     )
     foldable = [b for b in batches[:-1] if b != -1] if len(batches) > 1 else []
-    fold_dirs = [f"{state_path}/batch={b}" for b in foldable]
+    fold_names = [f"batch={b}" for b in foldable]
     if foldable and -1 in batches:
-        fold_dirs.append(f"{state_path}/batch=-1")
-    if not fold_dirs:
+        fold_names.append("batch=-1")
+    if not fold_names:
         return  # nothing beyond the compacted file / the replay target
-    merged = (
-        spark.read.parquet(*fold_dirs).groupBy(*keys).agg(*_sum_aggs(value))
+    merged = spark.read.parquet(
+        *[f"{state_path}/{n}" for n in fold_names]
+    ).groupBy(*keys).agg(*_sum_aggs(value))
+    tmp = os.path.join(state_path, _COMPACT_TMP)
+    if os.path.isdir(tmp):  # only possible via a concurrent compactor
+        shutil.rmtree(tmp)
+    merged.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/batch=-1")
+    with open(os.path.join(tmp, "MANIFEST.part"), "w") as f:
+        f.write("\n".join(fold_names) + "\n")
+    os.replace(
+        os.path.join(tmp, "MANIFEST.part"), os.path.join(tmp, "MANIFEST")
     )
-    tmp = tempfile.mkdtemp(prefix="sum_state_compact_")
-    try:
-        merged.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/batch=-1")
-        for d in fold_dirs:
-            shutil.rmtree(d)
-        shutil.move(f"{tmp}/batch=-1", os.path.join(state_path, "batch=-1"))
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    _finish_compaction(state_path)

@@ -17,8 +17,17 @@ safe at any stream length — the kmeans_clusters recipe.
 
 Centroid units: a lloyd_l2 index stores Q-unit centroids (used as-is);
 a seed_dot index stores raw-unit centroids, which are Q-scaled on load
-so the same assignment math applies — the monitor is metric-consistent
-with however the index routes.
+so the same assignment math applies.
+
+Metric note (round-6 advisor item): the monitor ALWAYS uses k-means
+(min-L2) geometry, regardless of index kind.  For a lloyd_l2 index
+this matches the routing exactly; for a seed_dot index — which routes
+by max dot product — the monitored per-cluster populations partition
+the space differently from the index's code lists (Q-scaling units
+does not make dot and L2 agree).  The dispersion/population-shift
+signals are still about the same centroid set and remain a valid
+re-train trigger, but they are L2-cell statistics, not per-code-list
+traffic, for seed-built indexes.
 """
 
 from __future__ import annotations
